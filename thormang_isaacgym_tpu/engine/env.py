@@ -1,0 +1,235 @@
+"""The vectorized env framework: TPU-native `VecTask`.
+
+Replaces `/root/reference/isaacgymenvs/tasks/base/vec_task.py` (Env base
+`:60-162`, VecTask runtime `:165-490`). The reference's mutable buffers +
+indexed C++ writes become a single pure function over an :class:`EnvState`
+pytree:
+
+  step : (Task, EnvState, actions) -> EnvState'
+
+with the canonical ordering of `VecTask.step` (`vec_task.py:313-359`):
+action DR noise -> clip(actions) -> pre_physics -> physics substeps ->
+post_physics (obs/reward/done) -> timeout bookkeeping -> obs DR noise ->
+clip(obs). Auto-reset of done envs happens via masked `where` at the start
+of the next step (the reference resets at the top of `post_physics_step`,
+`gogoro_new.py:377-379` — same semantics, no host sync, no indexed writes).
+
+Every env owns a deterministic PRNG stream derived from (seed, env_id,
+episode count) — the capability upgrade over PhysX non-determinism noted in
+SURVEY.md §5.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from thormang_isaacgym_tpu.models.robot import ModelParams, RobotModel
+from thormang_isaacgym_tpu.ops.sim import Controls, SimParams, build_step_fn
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EnvState:
+    """Complete env-side state: physics + episode bookkeeping + task extras.
+
+    Buffer parity with `VecTask.allocate_buffers` (`vec_task.py:254-277`):
+    obs_buf, rew_buf, reset_buf, progress_buf, timeout_buf (+ randomize_buf
+    folded into `dr_step`), plus the physics state the reference keeps on the
+    C++ side.
+    """
+    q: jnp.ndarray            # (B, nq)
+    qd: jnp.ndarray           # (B, nv)
+    params: ModelParams       # batched per-env model params (DR target)
+    obs: jnp.ndarray          # (B, num_obs)
+    reward: jnp.ndarray       # (B,)
+    done: jnp.ndarray         # (B,) 1.0 where env must reset next step
+    timeout: jnp.ndarray      # (B,) 1.0 where done was due to episode length
+    progress: jnp.ndarray     # (B,) int32 steps since reset
+    key: jnp.ndarray          # single PRNG key driving all streams
+    episode: jnp.ndarray      # (B,) int32 episode counter (PRNG stream salt)
+    task: Any                 # task-specific pytree (commands, buffers, ...)
+    metrics: Any              # dict of (B,) episode accumulators
+
+
+class Task:
+    """Base class for task definitions (the L4 layer, SURVEY.md §1).
+
+    Subclasses configure `model`, `sim_params`, `num_obs`, `num_actions`,
+    `max_episode_length`, `clip_actions`, `clip_obs` and implement the four
+    pure methods below — the direct analogs of the reference task API
+    (`create_sim/_create_envs` -> __init__, `reset_idx`, `pre_physics_step`,
+    `post_physics_step`).
+    """
+
+    model: RobotModel
+    sim_params: SimParams
+    num_obs: int
+    num_actions: int
+    num_states: int = 0          # asymmetric actor-critic privileged obs
+    max_episode_length: int = 1000
+    clip_actions: float = 1.0    # Env clip bounds (vec_task.py:107-108)
+    clip_obs: float = jnp.inf
+    control_freq_inv: int = 1    # physics steps per control step (vec_task.py:332)
+    # optional declarative DR config (reference randomization_params schema)
+    dr_config: Optional[dict] = None
+
+    def __init__(self, num_envs: int, seed: int = 42):
+        self.num_envs = num_envs
+        self.seed = seed
+
+    # ---- to implement ----
+    def default_task_state(self, key) -> Any:
+        """Initial task pytree (batched)."""
+        return ()
+
+    def reset_fn(self, key, params: ModelParams, task: Any):
+        """Single-env reset: returns (q, qd, params, task).
+
+        Receives this env's PRNG key, its current params and task state;
+        returns fresh physics + task state (parity: `reset_idx`).
+        """
+        raise NotImplementedError
+
+    def pre_physics(self, state: EnvState, actions: jnp.ndarray):
+        """Batched: actions -> (Controls, body_wrench_w, task') ."""
+        raise NotImplementedError
+
+    def post_physics(self, state: EnvState, prev_task: Any):
+        """Batched: fresh physics state -> (obs, reward, done, task', metrics).
+
+        `done` excludes the timeout condition; the engine ORs in
+        progress >= max_episode_length - 1 and records `timeout`
+        (parity: vec_task.py:345 + value_bootstrap semantics).
+        """
+        raise NotImplementedError
+
+    # ---- optional hooks ----
+    def observation_noise(self, key, obs, task_state):
+        return obs
+
+    def action_noise(self, key, actions):
+        return actions
+
+
+def _env_keys(key, episode, salt):
+    """Per-env keys: fold in env id and episode counter — deterministic,
+    collision-free streams."""
+    n = episode.shape[0]
+    ids = jnp.arange(n, dtype=jnp.uint32)
+    base = jax.random.fold_in(key, salt)
+    return jax.vmap(lambda i, e: jax.random.fold_in(jax.random.fold_in(base, i), e))(
+        ids, episode.astype(jnp.uint32))
+
+
+class VecEnv:
+    """Binds a Task to jitted init/step functions.
+
+    Usage:
+        env = VecEnv(task)
+        state = env.reset(jax.random.key(seed))
+        state = env.step(state, actions)      # jitted, donates state
+    """
+
+    def __init__(self, task: Task, ground_height_fn=None):
+        self.task = task
+        self.model = task.model
+        self.physics_step = build_step_fn(task.model, task.sim_params,
+                                          ground_height_fn=ground_height_fn)
+        self.num_envs = task.num_envs
+        self.num_obs = task.num_obs
+        self.num_actions = task.num_actions
+        self._step = jax.jit(self.step_fn, donate_argnums=(0,))
+        self._reset = jax.jit(self.init_fn)
+
+    # ------------------------------------------------------------------
+    def init_fn(self, key) -> EnvState:
+        task = self.task
+        B = task.num_envs
+        key, sub = jax.random.split(key)
+        params0 = task.model.default_params().batch(B)
+        task_state = task.default_task_state(sub)
+        episode = jnp.zeros(B, jnp.int32)
+        keys = _env_keys(key, episode, 0)
+        q, qd, params, task_state = jax.vmap(task.reset_fn)(keys, params0, task_state)
+        state = EnvState(
+            q=q, qd=qd, params=params,
+            obs=jnp.zeros((B, task.num_obs)),
+            reward=jnp.zeros(B),
+            done=jnp.zeros(B),
+            timeout=jnp.zeros(B),
+            progress=jnp.zeros(B, jnp.int32),
+            key=key,
+            episode=episode,
+            task=task_state,
+            metrics={},
+        )
+        # populate initial obs
+        obs, _, _, task_state, metrics = task.post_physics(state, task_state)
+        return dataclasses.replace(state, obs=jnp.clip(obs, -task.clip_obs, task.clip_obs),
+                                   task=task_state, metrics=metrics)
+
+    # ------------------------------------------------------------------
+    def step_fn(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
+        task = self.task
+        B = task.num_envs
+        key = jax.random.fold_in(state.key, 1)
+
+        # ---- 1. masked auto-reset of envs done on the previous step ----
+        do_reset = state.done > 0
+        episode = state.episode + do_reset.astype(jnp.int32)
+        keys = _env_keys(key, episode, 17)
+        q_r, qd_r, params_r, task_r = jax.vmap(task.reset_fn)(keys, state.params, state.task)
+
+        def mask_select(new, old):
+            def sel(n, o):
+                m = do_reset.reshape((B,) + (1,) * (n.ndim - 1))
+                return jnp.where(m, n, o)
+            return jax.tree.map(sel, new, old)
+
+        q = mask_select(q_r, state.q)
+        qd = mask_select(qd_r, state.qd)
+        params = mask_select(params_r, state.params)
+        task_state = mask_select(task_r, state.task)
+        progress = jnp.where(do_reset, 0, state.progress)
+
+        state = dataclasses.replace(
+            state, q=q, qd=qd, params=params, task=task_state,
+            progress=progress, episode=episode)
+
+        # ---- 2. action noise + clip (vec_task.py:324-327) ----
+        actions = task.action_noise(jax.random.fold_in(key, 2), actions)
+        actions = jnp.clip(actions, -task.clip_actions, task.clip_actions)
+
+        # ---- 3. pre-physics + physics ----
+        ctrl, wrench, task_state = task.pre_physics(state, actions)
+        state = dataclasses.replace(state, task=task_state)
+        q, qd = state.q, state.qd
+        for _ in range(task.control_freq_inv):
+            q, qd = self.physics_step(state.params, q, qd, ctrl, wrench)
+        progress = state.progress + 1
+        state = dataclasses.replace(state, q=q, qd=qd, progress=progress)
+
+        # ---- 4. post-physics: obs / reward / done ----
+        obs, reward, done_task, task_state, metrics = task.post_physics(state, task_state)
+        timeout = (progress >= task.max_episode_length - 1)
+        done = jnp.where(timeout, 1.0, done_task.astype(jnp.float32))
+
+        # ---- 5. obs noise + clip (vec_task.py:353-357) ----
+        obs = task.observation_noise(jax.random.fold_in(key, 3), obs, task_state)
+        obs = jnp.clip(obs, -task.clip_obs, task.clip_obs)
+
+        return dataclasses.replace(
+            state, obs=obs, reward=reward, done=done,
+            timeout=jnp.logical_and(timeout, done_task < 0.5).astype(jnp.float32),
+            task=task_state, key=key, metrics=metrics)
+
+    # ------------------------------------------------------------------
+    def reset(self, key) -> EnvState:
+        return self._reset(key)
+
+    def step(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
+        return self._step(state, actions)

@@ -1,0 +1,151 @@
+"""Analytic primitive-vs-ground contact with penalty normal force and
+regularized Coulomb friction.
+
+TPU-native replacement for PhysX contact generation + TGS solve (spec:
+`contact_offset`/`rest_offset`/friction config at
+`/root/reference/isaacgymenvs/cfg/task/Gogoro.yaml:15-31`, ground plane at
+`tasks/gogoro_new.py:184-191`, shape friction at `:284-293`). Instead of a
+broad/narrow phase over mesh BVHs, every geom emits a *static* number of
+candidate contact points (lockstep across envs — no divergence):
+
+  sphere   -> 1 point  (center,          offset radius r)
+  capsule  -> 2 points (both cap centers, offset radius r)
+  cylinder -> 2 points (rim lowest point of both faces; wheel-style disk,
+              axis = local z)
+  box      -> 4 bottom / 4 top corners (8 points, offset 0)
+
+All candidates are evaluated unconditionally and masked by penetration —
+branch-free, fuses into the surrounding XLA program.
+
+Single env; caller vmaps.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from thormang_isaacgym_tpu.core import quat as Q
+from thormang_isaacgym_tpu.models.robot import (
+    GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_SPHERE, ModelParams, RobotModel,
+)
+from thormang_isaacgym_tpu.ops.kinematics import BodyFrames
+
+
+def _static_candidates(model: RobotModel):
+    """Precompute (numpy, trace-time) candidate-point table.
+
+    Returns arrays over the total candidate count M:
+      cand_geom (M,), local offset points (M,3), radius (M,), is_rim (M,)
+    Rim candidates (cylinders) are resolved dynamically from orientation.
+    """
+    geom_idx, offsets, radii, is_rim, rim_halfw = [], [], [], [], []
+    for gi, g in enumerate(model.geoms):
+        if g.gtype == GEOM_SPHERE:
+            geom_idx.append(gi); offsets.append((0, 0, 0)); radii.append(g.size[0]); is_rim.append(0); rim_halfw.append(0.0)
+        elif g.gtype == GEOM_CAPSULE:
+            r, hl = g.size
+            for s in (-1, 1):
+                geom_idx.append(gi); offsets.append((0, 0, s * hl)); radii.append(r); is_rim.append(0); rim_halfw.append(0.0)
+        elif g.gtype == GEOM_CYLINDER:
+            r, hw = g.size
+            for s in (-1, 1):
+                geom_idx.append(gi); offsets.append((0, 0, s * hw)); radii.append(r); is_rim.append(1); rim_halfw.append(0.0)
+        elif g.gtype == GEOM_BOX:
+            hx, hy, hz = g.size
+            for sx in (-1, 1):
+                for sy in (-1, 1):
+                    for sz in (-1, 1):
+                        geom_idx.append(gi); offsets.append((sx * hx, sy * hy, sz * hz)); radii.append(0.0); is_rim.append(0); rim_halfw.append(0.0)
+    return (
+        np.array(geom_idx, np.int32),
+        np.array(offsets, np.float32).reshape(-1, 3),
+        np.array(radii, np.float32),
+        np.array(is_rim, np.float32),
+    )
+
+
+def ground_contact_forces(
+    model: RobotModel,
+    params: ModelParams,
+    frames: BodyFrames,
+    *,
+    stiffness: float,
+    damping: float,
+    friction_vel: float = 0.05,
+    plane_friction: float = 1.0,
+    ground_height_fn=None,
+):
+    """Per-body external spatial force from ground contact.
+
+    Returns (f_ext_world (nb, 6): [torque_about_body_origin, force], world
+    frame) and per-body net contact force (nb, 3) — the equivalent of the
+    reference's `acquire_net_contact_force_tensor` view.
+
+    `ground_height_fn(x, y) -> z` enables heightfield terrain; None = plane
+    z=0.
+    """
+    cand_geom, offsets, radii, is_rim = _static_candidates(model)
+    if len(cand_geom) == 0:
+        z = jnp.zeros((model.nb, 6))
+        return z, jnp.zeros((model.nb, 3))
+
+    gbody = np.array([g.body for g in model.geoms])[cand_geom]          # (M,)
+    gpos = np.array([g.pos for g in model.geoms], np.float32).reshape(-1, 3)[cand_geom]
+    gquat = np.array([g.quat for g in model.geoms], np.float32).reshape(-1, 4)[cand_geom]
+
+    body_pos = frames.pos[gbody]        # (M,3)
+    body_quat = frames.quat[gbody]
+    omega = frames.omega[gbody]
+    vel = frames.vel[gbody]
+
+    # geom frame in world
+    geo_pos = body_pos + Q.rotate(body_quat, jnp.asarray(gpos))
+    geo_quat = Q.mul(body_quat, jnp.asarray(gquat))
+
+    # candidate point center in world
+    p = geo_pos + Q.rotate(geo_quat, jnp.asarray(offsets))
+
+    # rim resolution for cylinders: lowest point of the rim circle whose
+    # plane is normal to the local z axis. u = normalize(-(I - a a^T) zhat)
+    a = Q.rotate(geo_quat, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), p.shape))
+    zhat = jnp.array([0.0, 0.0, 1.0])
+    perp = zhat - a * a[..., 2:3]
+    perp_n = jnp.linalg.norm(perp, axis=-1, keepdims=True)
+    u = -perp / jnp.maximum(perp_n, 1e-6)
+    r_col = jnp.asarray(radii)
+    rim = jnp.asarray(is_rim)
+    # rim point sits at face-center + r*u in the rim plane; its offset radius is 0
+    rim_point = p + r_col[:, None] * u
+    p = jnp.where(rim[:, None] > 0, rim_point, p)
+    eff_r = r_col * (1.0 - rim)
+
+    # penetration (positive = penetrating) against plane or heightfield
+    if ground_height_fn is None:
+        ground_z = jnp.zeros(p.shape[0])
+    else:
+        ground_z = ground_height_fn(p[:, 0], p[:, 1])
+    depth = ground_z - (p[:, 2] - eff_r)
+    contact_p = p.at[:, 2].add(-eff_r)           # contact point on surface
+    active = depth > 0.0
+
+    # contact point velocity
+    v_p = vel + jnp.cross(omega, contact_p - body_pos)
+    vn = v_p[:, 2]
+    vt = v_p.at[:, 2].set(0.0)
+    vt_norm = jnp.linalg.norm(vt, axis=-1)
+
+    mu = params.geom_friction[cand_geom] * plane_friction
+    fn = stiffness * depth - damping * vn
+    fn = jnp.where(active, jnp.maximum(fn, 0.0), 0.0)
+    # regularized Coulomb friction
+    ft_mag = mu * fn * jnp.tanh(vt_norm / friction_vel)
+    ft = -ft_mag[:, None] * vt / jnp.maximum(vt_norm, 1e-6)[:, None]
+
+    f = ft.at[:, 2].add(fn)                       # (M,3) world force
+    torque = jnp.cross(contact_p - body_pos, f)   # about body origin
+
+    f_ext = jnp.zeros((model.nb, 6))
+    f_ext = f_ext.at[gbody, 0:3].add(torque)
+    f_ext = f_ext.at[gbody, 3:6].add(f)
+    net = jnp.zeros((model.nb, 3)).at[gbody].add(f)
+    return f_ext, net

@@ -1,0 +1,124 @@
+"""Forward kinematics: generalized state -> world body poses & velocities.
+
+Replaces the reference's rigid-body state tensor
+(`acquire_rigid_body_state_tensor`, e.g.
+`/root/reference/isaacgymenvs/tasks/gogoro/gogoro.py:105-126`): instead of
+refreshing a C++ buffer, body states are a pure function of (q, qd) computed
+inside the same XLA program as dynamics/contact — "refresh" is a no-op.
+
+Written for a single env; the caller vmaps over the env axis.
+
+State layout (floating base):
+  q  = [pos_w (3), quat_wxyz (4), joint_q (nj)]         (nq = 7 + nj)
+  qd = [omega_body (3), v_body (3), joint_qd (nj)]      (nv = 6 + nj)
+where (omega_body, v_body) is the root spatial velocity in the root frame.
+Fixed base: q = joint_q, qd = joint_qd.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from thormang_isaacgym_tpu.core import quat as Q
+from thormang_isaacgym_tpu.models.robot import PRISMATIC, REVOLUTE, RobotModel
+
+
+class BodyFrames(NamedTuple):
+    """World-frame pose and velocity of every movable body (single env)."""
+    pos: jnp.ndarray    # (nb, 3) body-frame origin in world
+    quat: jnp.ndarray   # (nb, 4) wxyz body->world
+    omega: jnp.ndarray  # (nb, 3) angular velocity, world frame
+    vel: jnp.ndarray    # (nb, 3) linear velocity of body origin, world frame
+
+
+def split_q(model: RobotModel, q: jnp.ndarray):
+    if model.floating:
+        return q[0:3], q[3:7], q[7:]
+    zeros3 = jnp.zeros(3, q.dtype)
+    return zeros3, jnp.array([1.0, 0, 0, 0], q.dtype), q
+
+
+def split_qd(model: RobotModel, qd: jnp.ndarray):
+    if model.floating:
+        return qd[0:3], qd[3:6], qd[6:]
+    zeros3 = jnp.zeros(3, qd.dtype)
+    return zeros3, zeros3, qd
+
+
+def joint_local_pose(model: RobotModel, joint_q: jnp.ndarray):
+    """Pose of each non-root body in its parent frame: (nj, 3) pos, (nj, 4) quat.
+
+    Computed vectorized over joints (no per-joint Python loop for the pose
+    math itself; only the tree accumulation below is unrolled).
+    """
+    j_pos = jnp.asarray(np.array(model.joint_pos, dtype=np.float32).reshape(-1, 3))
+    j_quat = jnp.asarray(np.array(model.joint_quat, dtype=np.float32).reshape(-1, 4))
+    axis = jnp.asarray(np.array(model.joint_axis, dtype=np.float32).reshape(-1, 3))
+    jtype = np.array(model.joint_type)  # static
+
+    is_rev = jnp.asarray((jtype == REVOLUTE).astype(np.float32))[:, None]
+    # revolute: extra rotation about axis; prismatic: extra translation
+    rot_angle = joint_q * is_rev[:, 0]
+    q_rot = Q.from_axis_angle(axis, rot_angle)
+    quat_local = Q.mul(j_quat, q_rot)
+    trans = axis * (joint_q * (1.0 - is_rev[:, 0]))[:, None]
+    pos_local = j_pos + Q.rotate(j_quat, trans)
+    return pos_local, quat_local
+
+
+def forward_kinematics(model: RobotModel, q: jnp.ndarray, qd: jnp.ndarray) -> BodyFrames:
+    """World pose + velocity of all movable bodies. Single env."""
+    root_pos, root_quat, joint_q = split_q(model, q)
+    root_omega_b, root_v_b, joint_qd = split_qd(model, qd)
+
+    pos_local, quat_local = joint_local_pose(model, joint_q)
+    axis = jnp.asarray(np.array(model.joint_axis, dtype=np.float32).reshape(-1, 3))
+    jtype = np.array(model.joint_type)
+    parent = model.parent
+
+    pos = [root_pos]
+    quat = [root_quat]
+    omega = [Q.rotate(root_quat, root_omega_b)]
+    vel = [Q.rotate(root_quat, root_v_b)]
+
+    for i in range(1, model.nb):
+        j = i - 1
+        p = parent[i]
+        pw = pos[p] + Q.rotate(quat[p], pos_local[j])
+        qw = Q.mul(quat[p], quat_local[j])
+        # joint motion contribution (world frame). The joint axis is invariant
+        # under the joint's own rotation, so rotating by qw is valid for both
+        # revolute and prismatic joints.
+        axis_w = Q.rotate(qw, axis[j])
+        if jtype[j] == REVOLUTE:
+            om = omega[p] + axis_w * joint_qd[j]
+            vl = vel[p] + jnp.cross(omega[p], pw - pos[p])
+        else:  # PRISMATIC
+            om = omega[p]
+            vl = vel[p] + jnp.cross(omega[p], pw - pos[p]) + axis_w * joint_qd[j]
+        pos.append(pw)
+        quat.append(qw)
+        omega.append(om)
+        vel.append(vl)
+
+    return BodyFrames(
+        pos=jnp.stack(pos), quat=jnp.stack(quat),
+        omega=jnp.stack(omega), vel=jnp.stack(vel),
+    )
+
+
+def geom_world_poses(model: RobotModel, frames: BodyFrames):
+    """World pose of every collision geom: (ng,3) pos, (ng,4) quat, plus
+    per-geom world velocity of the geom origin."""
+    gbody = np.array([g.body for g in model.geoms])
+    gpos = jnp.asarray(np.array([g.pos for g in model.geoms], dtype=np.float32).reshape(-1, 3))
+    gquat = jnp.asarray(np.array([g.quat for g in model.geoms], dtype=np.float32).reshape(-1, 4))
+    bpos = frames.pos[gbody]
+    bquat = frames.quat[gbody]
+    pos_w = bpos + Q.rotate(bquat, gpos)
+    quat_w = Q.mul(bquat, gquat)
+    omega_w = frames.omega[gbody]
+    vel_w = frames.vel[gbody] + jnp.cross(omega_w, pos_w - bpos)
+    return pos_w, quat_w, omega_w, vel_w

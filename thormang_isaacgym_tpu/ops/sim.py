@@ -1,0 +1,154 @@
+"""The physics step: drives + contact + ABA + semi-implicit Euler, substeps.
+
+This is the TPU-native equivalent of the reference's
+`for _ in range(control_freq_inv): gym.simulate(sim)` hot loop
+(`/root/reference/isaacgymenvs/tasks/base/vec_task.py:332-339`) plus the sim
+parameter block (`__parse_sim_params`, `vec_task.py:442-490`). One call steps
+ALL envs: the single-env step is vmapped over the env axis and the substep
+loop is a `lax.scan`, so the whole thing traces into one XLA program.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from thormang_isaacgym_tpu.core import quat as Q
+from thormang_isaacgym_tpu.models.robot import ModelParams, RobotModel
+from thormang_isaacgym_tpu.ops import contact as contact_mod
+from thormang_isaacgym_tpu.ops import dynamics as dyn
+from thormang_isaacgym_tpu.ops.kinematics import forward_kinematics, split_q, split_qd
+
+
+@dataclasses.dataclass(frozen=True)
+class SimParams:
+    """Static simulation parameters (hashable; closed over by jit).
+
+    Mirrors the reference's sim config block
+    (`cfg/task/Gogoro.yaml:9-31`): dt/substeps/gravity map 1:1; the PhysX
+    solver-iteration and contact-offset knobs map onto the penalty-contact
+    stiffness/damping pair here.
+    """
+    dt: float = 1.0 / 60.0
+    substeps: int = 2
+    gravity: tuple = (0.0, 0.0, -9.81)
+    contact_stiffness: float = 1.0e5
+    contact_damping: float = 3.0e3
+    friction_vel: float = 0.05       # regularization velocity for Coulomb friction
+    plane_friction: float = 1.0
+    joint_limit_stiffness: float = 2000.0
+    joint_limit_damping: float = 50.0
+    root_linear_damping: float = 0.0   # asset_options.linear_damping (gogoro_new.py:209)
+    root_angular_damping: float = 0.0
+    max_velocity: float = 1e3          # safety clamp on qd
+
+
+class Controls(NamedTuple):
+    """Per-step actuation targets — the analog of
+    set_dof_{position,velocity}_target_tensor / actuation_force_tensor
+    (`gogoro_new.py:364-369`). Shapes: (nj,) single env, (B, nj) batched."""
+    target_pos: jnp.ndarray
+    target_vel: jnp.ndarray
+    effort: jnp.ndarray
+
+
+def zero_controls(model: RobotModel, batch: int | None = None) -> Controls:
+    shape = (model.nj,) if batch is None else (batch, model.nj)
+    z = jnp.zeros(shape)
+    return Controls(z, z, z)
+
+
+def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
+             q: jnp.ndarray, qd: jnp.ndarray, ctrl: Controls,
+             body_wrench_w: jnp.ndarray, ground_height_fn=None):
+    """One physics substep for one env."""
+    h = sp_.dt / sp_.substeps
+    # per-env gravity (ModelParams leaf) so DR can scale it; SimParams.gravity
+    # is only the default used when building ModelParams
+    gravity = params.gravity
+
+    frames = forward_kinematics(model, q, qd)
+    f_ext_w, _net = contact_mod.ground_contact_forces(
+        model, params, frames,
+        stiffness=sp_.contact_stiffness, damping=sp_.contact_damping,
+        friction_vel=sp_.friction_vel, plane_friction=sp_.plane_friction,
+        ground_height_fn=ground_height_fn,
+    )
+    f_ext_w = f_ext_w + body_wrench_w  # external pushes (apply_rigid_body_force_tensors)
+
+    # world wrench -> link-frame spatial force
+    R_t = jnp.swapaxes(Q.to_matrix(frames.quat), -1, -2)  # (nb,3,3) world->body
+    f_ext = jnp.concatenate([
+        (R_t @ f_ext_w[:, 0:3, None])[..., 0],
+        (R_t @ f_ext_w[:, 3:6, None])[..., 0],
+    ], axis=-1)
+
+    _, _, joint_q = split_q(model, q)
+    _, _, joint_qd = split_qd(model, qd)
+
+    tau = dyn.drive_torques(params, joint_q, joint_qd,
+                            ctrl.target_pos, ctrl.target_vel, ctrl.effort)
+    tau = tau + dyn.passive_torques(params, joint_q, joint_qd,
+                                    limit_stiffness=sp_.joint_limit_stiffness,
+                                    limit_damping=sp_.joint_limit_damping)
+
+    qdd = dyn.aba(model, params, q, qd, tau, f_ext, gravity)
+
+    # ---- semi-implicit Euler ----
+    qd_new = qd + h * qdd
+    if model.floating:
+        # root damping (asset linear/angular damping)
+        damp = jnp.concatenate([
+            jnp.full(3, 1.0 - sp_.root_angular_damping * h),
+            jnp.full(3, 1.0 - sp_.root_linear_damping * h),
+            jnp.ones(model.nj),
+        ])
+        qd_new = qd_new * damp
+    qd_new = jnp.clip(qd_new, -sp_.max_velocity, sp_.max_velocity)
+
+    # joint velocity limits + locked joints
+    _, _, jqd = split_qd(model, qd_new)
+    jqd = jnp.clip(jqd, -params.dof_velocity_limit, params.dof_velocity_limit)
+    jqd = jqd * (1.0 - params.dof_locked)
+
+    if model.floating:
+        omega_b, v_b = qd_new[0:3], qd_new[3:6]
+        root_pos, root_quat, jq = q[0:3], q[3:7], q[7:]
+        omega_w = Q.rotate(root_quat, omega_b)
+        new_quat = Q.integrate(root_quat, omega_w, h)
+        new_pos = root_pos + h * Q.rotate(root_quat, v_b)
+        jq_new = jq + h * jqd
+        jq_new = jnp.where(params.dof_locked > 0, params.dof_locked_pos, jq_new)
+        q_new = jnp.concatenate([new_pos, new_quat, jq_new])
+        qd_new = jnp.concatenate([omega_b, v_b, jqd])
+    else:
+        jq_new = q + h * jqd
+        jq_new = jnp.where(params.dof_locked > 0, params.dof_locked_pos, jq_new)
+        q_new = jq_new
+        qd_new = jqd
+
+    return q_new, qd_new
+
+
+def build_step_fn(model: RobotModel, sim_params: SimParams,
+                  ground_height_fn=None) -> Callable:
+    """Returns step(params, q, qd, ctrl, body_wrench_w) -> (q', qd'), batched.
+
+    params leaves carry a leading env axis; q (B, nq); qd (B, nv);
+    ctrl leaves (B, nj); body_wrench_w (B, nb, 6) world-frame external
+    wrenches (zeros if unused). The substep loop is a lax.scan.
+    """
+
+    def single_env_step(params, q, qd, ctrl, body_wrench_w):
+        def body(carry, _):
+            q, qd = carry
+            q, qd = _substep(model, sim_params, params, q, qd, ctrl,
+                             body_wrench_w, ground_height_fn)
+            return (q, qd), None
+
+        (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=sim_params.substeps)
+        return q, qd
+
+    return jax.vmap(single_env_step)
