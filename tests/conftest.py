@@ -3,13 +3,17 @@
 Tests run on the CPU backend with 8 virtual devices so multi-chip sharding
 logic is exercised without TPU hardware (SURVEY.md §4: "jax CPU backend as the
 fake device for CI; multi-host logic testable on CPU via local mesh").
-Must run before jax is imported anywhere.
+
+Note: the environment preloads jax at interpreter startup (sitecustomize) with
+JAX_PLATFORMS=axon, so plain env-var edits are too late — use config.update,
+which works because the backend initializes lazily.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -39,7 +39,7 @@ def test_scooter_parse():
         import pytest
         pytest.skip("reference assets unavailable")
     wheel = {"type": "cylinder", "size": (0.2, 0.045),
-             "pos": (0, 0, 0), "quat": (0.7071068, 0.7071068, 0, 0)}  # axis z->y
+             "pos": (0, 0, 0), "quat": (1.0, 0, 0, 0)}
     m = load_urdf(
         REF_SCOOTER,
         mesh_overrides={"front": wheel, "back": wheel},

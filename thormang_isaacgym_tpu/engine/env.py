@@ -174,8 +174,10 @@ class VecEnv:
 
     # ------------------------------------------------------------------
     def step_fn(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
+        # shape-polymorphic in the env axis: under shard_map each shard sees
+        # its local slice, so B comes from the state, not the task config
         task = self.task
-        B = task.num_envs
+        B = state.q.shape[0]
         key = jax.random.fold_in(state.key, 1)
 
         # ---- 1. masked auto-reset of envs done on the previous step ----

@@ -1,0 +1,53 @@
+"""Actor-critic networks — parity with rl_games' `actor_critic` network as
+configured by the reference train configs
+(`/root/reference/isaacgymenvs/cfg/train/GogoroPPO.yaml:10-36`):
+
+- shared MLP trunk (separate: False), elu activations, units e.g. [512]*3
+- continuous head: mu (linear), state-independent log_std parameter
+  (fixed_sigma: True, sigma_init 0 -> std = 1)
+- value head: linear scalar
+
+Dense layers run in bf16 on the MXU with f32 accumulation/params — the
+TPU-native equivalent of rl_games' mixed_precision: True.
+"""
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class ActorCritic(nn.Module):
+    num_actions: int
+    units: Sequence[int] = (512, 512, 512)
+    activation: str = "elu"
+    separate: bool = False
+    fixed_sigma: bool = True
+    sigma_init: float = 0.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def _mlp(self, x, name):
+        act = getattr(nn, self.activation)
+        for i, u in enumerate(self.units):
+            x = nn.Dense(u, name=f"{name}_{i}", dtype=self.compute_dtype)(x)
+            x = act(x)
+        return x
+
+    @nn.compact
+    def __call__(self, obs):
+        x = obs.astype(self.compute_dtype)
+        trunk = self._mlp(x, "trunk")
+        if self.separate:
+            vtrunk = self._mlp(x, "vtrunk")
+        else:
+            vtrunk = trunk
+        mu = nn.Dense(self.num_actions, name="mu", dtype=self.compute_dtype)(trunk)
+        value = nn.Dense(1, name="value", dtype=self.compute_dtype)(vtrunk)
+        if self.fixed_sigma:
+            log_std = self.param(
+                "log_std", nn.initializers.constant(self.sigma_init), (self.num_actions,))
+            log_std = jnp.broadcast_to(log_std, mu.shape)
+        else:
+            log_std = nn.Dense(self.num_actions, name="sigma", dtype=self.compute_dtype)(trunk)
+        return mu.astype(jnp.float32), log_std.astype(jnp.float32), value[..., 0].astype(jnp.float32)

@@ -1,0 +1,387 @@
+"""PPO actor-learner — the rl_games `a2c_continuous` equivalent.
+
+Algorithmic parity, knob for knob, with the reference's rl_games config
+surface (`/root/reference/isaacgymenvs/cfg/train/GogoroPPO.yaml:38-73`,
+`train.py:142-161`):
+
+- synchronous on-policy: rollout `horizon_length` then `mini_epochs` x
+  minibatch updates — rollout and update are phases of ONE jitted train
+  iteration (SURVEY.md §2.2: actor/learner split stays synchronous)
+- GAE(gamma, tau), advantage normalization, e_clip surrogate, clipped value
+  loss, critic_coef, entropy_coef, bounds_loss_coef (soft bound 1.1),
+  grad-norm clipping, reward shaper scale, value bootstrap on timeouts
+  (`extras["time_outs"]` semantics, vec_task.py:345-351)
+- adaptive KL learning rate (rl_games AdaptiveScheduler: lr /= 1.5 when
+  kl > 2*threshold, lr *= 1.5 when kl < threshold/2, clamped [1e-6, 1e-2])
+- obs / value running normalization (normalize_input / normalize_value)
+
+Everything — env stepping included — runs inside one XLA program per
+iteration; there is no host round-trip in the training loop.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from thormang_isaacgym_tpu.engine.env import EnvState, VecEnv
+from thormang_isaacgym_tpu.learn.networks import ActorCritic
+from thormang_isaacgym_tpu.learn.normalize import (
+    RMSState, rms_denormalize, rms_normalize, rms_update,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """Field names follow the rl_games config keys (GogoroPPO.yaml:38-73)."""
+    gamma: float = 0.99
+    tau: float = 0.95                  # GAE lambda
+    learning_rate: float = 1e-4
+    lr_schedule: str = "adaptive"      # adaptive | fixed | linear
+    kl_threshold: float = 0.002
+    e_clip: float = 0.2
+    clip_value: bool = True
+    critic_coef: float = 2.0
+    entropy_coef: float = 0.0
+    bounds_loss_coef: float = 0.01
+    grad_norm: float = 1.0
+    truncate_grads: bool = True
+    horizon_length: int = 64
+    minibatch_size: int = 32768
+    mini_epochs: int = 5
+    reward_shaper_scale: float = 0.1
+    normalize_input: bool = False
+    normalize_value: bool = False
+    normalize_advantage: bool = True
+    value_bootstrap: bool = False
+    max_epochs: int = 1000
+    units: tuple = (512, 512, 512)
+    activation: str = "elu"
+    separate: bool = False
+    fixed_sigma: bool = True
+    sigma_init: float = 0.0
+    mixed_precision: bool = True
+    seed: int = 42
+
+    @staticmethod
+    def from_rlgames(cfg: dict) -> "PPOConfig":
+        """Build from a reference-style train YAML dict (params.config +
+        params.network)."""
+        c = cfg.get("params", cfg)
+        conf = c.get("config", {})
+        net = c.get("network", {})
+        mlp = net.get("mlp", {})
+        space = net.get("space", {}).get("continuous", {})
+        kw = {}
+        m = {
+            "gamma": "gamma", "tau": "tau", "learning_rate": "learning_rate",
+            "lr_schedule": "lr_schedule", "kl_threshold": "kl_threshold",
+            "e_clip": "e_clip", "clip_value": "clip_value",
+            "critic_coef": "critic_coef", "entropy_coef": "entropy_coef",
+            "bounds_loss_coef": "bounds_loss_coef", "grad_norm": "grad_norm",
+            "truncate_grads": "truncate_grads", "horizon_length": "horizon_length",
+            "minibatch_size": "minibatch_size", "mini_epochs": "mini_epochs",
+            "normalize_input": "normalize_input", "normalize_value": "normalize_value",
+            "normalize_advantage": "normalize_advantage",
+            "value_bootstrap": "value_bootstrap", "max_epochs": "max_epochs",
+            "mixed_precision": "mixed_precision",
+        }
+        for k, src in m.items():
+            if src in conf:
+                kw[k] = conf[src]
+        if "reward_shaper" in conf:
+            kw["reward_shaper_scale"] = conf["reward_shaper"].get("scale_value", 1.0)
+        if "units" in mlp:
+            kw["units"] = tuple(mlp["units"])
+        if "activation" in mlp:
+            kw["activation"] = mlp["activation"]
+        if "separate" in net:
+            kw["separate"] = net["separate"]
+        if "fixed_sigma" in space:
+            kw["fixed_sigma"] = space["fixed_sigma"]
+        if isinstance(kw.get("learning_rate"), str):
+            kw["learning_rate"] = float(kw["learning_rate"])
+        return PPOConfig(**kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrainState:
+    params: Any
+    opt_state: Any
+    lr: jnp.ndarray
+    obs_rms: RMSState
+    value_rms: RMSState
+    epoch: jnp.ndarray
+
+
+def gaussian_logprob(mu, log_std, action):
+    std = jnp.exp(log_std)
+    return jnp.sum(
+        -0.5 * ((action - mu) / std) ** 2 - log_std - 0.5 * jnp.log(2 * jnp.pi),
+        axis=-1)
+
+
+def gaussian_entropy(log_std):
+    return jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e), axis=-1)
+
+
+def gaussian_kl(mu0, log_std0, mu1, log_std1):
+    """KL(old || new), rl_games' policy_kl formulation."""
+    std0, std1 = jnp.exp(log_std0), jnp.exp(log_std1)
+    kl = log_std1 - log_std0 + (std0**2 + (mu0 - mu1) ** 2) / (2.0 * std1**2) - 0.5
+    return jnp.sum(kl, axis=-1)
+
+
+class PPO:
+    """Binds a VecEnv + PPOConfig to a jitted train iteration."""
+
+    def __init__(self, env: VecEnv, config: PPOConfig, axis_name: str | None = None):
+        """axis_name: set when the train iteration runs inside shard_map over
+        an env-sharded mesh — gradients and KL are pmean'd across shards
+        (the TPU-native replacement for rl_games' NCCL all-reduce,
+        `train.py:74-82` + `multi_gpu` config)."""
+        self.env = env
+        self.cfg = config
+        self.axis_name = axis_name
+        self.network = ActorCritic(
+            num_actions=env.num_actions,
+            units=config.units,
+            activation=config.activation,
+            separate=config.separate,
+            fixed_sigma=config.fixed_sigma,
+            sigma_init=config.sigma_init,
+            compute_dtype=jnp.bfloat16 if config.mixed_precision else jnp.float32,
+        )
+        batch = config.horizon_length * env.num_envs
+        self.num_minibatches = max(1, batch // config.minibatch_size)
+        self.optimizer = optax.chain(
+            optax.clip_by_global_norm(config.grad_norm)
+            if config.truncate_grads else optax.identity(),
+            optax.scale_by_adam(eps=1e-8),
+            optax.scale_by_learning_rate(1.0, flip_sign=True),
+        )
+        self._train_iter = jax.jit(self.train_iteration, donate_argnums=(0, 1))
+
+    # ------------------------------------------------------------------
+    def init(self, key) -> TrainState:
+        obs0 = jnp.zeros((1, self.env.num_obs))
+        params = self.network.init(key, obs0)
+        opt_state = self.optimizer.init(params)
+        return TrainState(
+            params=params, opt_state=opt_state,
+            lr=jnp.asarray(self.cfg.learning_rate),
+            obs_rms=RMSState.create((self.env.num_obs,)),
+            value_rms=RMSState.create(()),
+            epoch=jnp.asarray(0, jnp.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _policy(self, ts: TrainState, obs):
+        if self.cfg.normalize_input:
+            obs = rms_normalize(ts.obs_rms, obs)
+        mu, log_std, value = self.network.apply(ts.params, obs)
+        if self.cfg.normalize_value:
+            value = rms_denormalize(ts.value_rms, value)
+        return mu, log_std, value
+
+    def act_deterministic(self, ts: TrainState, obs):
+        """Play-mode action (mu, clamped) — parity with export.py ModelWrapper
+        (`/root/reference/isaacgymenvs/export.py:134-157`)."""
+        mu, _, _ = self._policy(ts, obs)
+        return jnp.clip(mu, -1.0, 1.0)
+
+    # ------------------------------------------------------------------
+    def rollout(self, ts: TrainState, env_state: EnvState, key):
+        """horizon_length steps; returns batched trajectories."""
+        def step(carry, _):
+            env_state, key = carry
+            key, k_act = jax.random.split(key)
+            obs = env_state.obs
+            mu, log_std, value = self._policy(ts, obs)
+            action = mu + jnp.exp(log_std) * jax.random.normal(k_act, mu.shape)
+            logp = gaussian_logprob(mu, log_std, action)
+            env_state = self.env.step_fn(env_state, action)
+            out = dict(obs=obs, action=action, logp=logp, value=value,
+                       reward=env_state.reward, done=env_state.done,
+                       timeout=env_state.timeout,
+                       mu=mu, log_std=log_std)
+            return (env_state, key), out
+
+        (env_state, _), traj = jax.lax.scan(
+            step, (env_state, key), None, length=self.cfg.horizon_length)
+        return env_state, traj
+
+    # ------------------------------------------------------------------
+    def compute_gae(self, ts: TrainState, traj, last_value):
+        cfg = self.cfg
+        reward = traj["reward"] * cfg.reward_shaper_scale
+        if cfg.value_bootstrap:
+            # rl_games: rewards += gamma * values * timeouts
+            reward = reward + cfg.gamma * traj["value"] * traj["timeout"]
+        not_done = 1.0 - traj["done"]
+
+        def scan_fn(carry, t):
+            gae, next_value = carry
+            delta = t["reward"] + cfg.gamma * next_value * t["not_done"] - t["value"]
+            gae = delta + cfg.gamma * cfg.tau * t["not_done"] * gae
+            return (gae, t["value"]), gae
+
+        seq = dict(reward=reward, value=traj["value"], not_done=not_done)
+        (_, _), advantages = jax.lax.scan(
+            scan_fn,
+            (jnp.zeros_like(last_value), last_value),
+            seq, reverse=True)
+        returns = advantages + traj["value"]
+        return advantages, returns
+
+    # ------------------------------------------------------------------
+    def _loss(self, params, ts: TrainState, batch, lr_unused=None):
+        cfg = self.cfg
+        obs = batch["obs"]
+        if cfg.normalize_input:
+            obs = rms_normalize(ts.obs_rms, obs)
+        mu, log_std, value = self.network.apply(params, obs)
+
+        logp = gaussian_logprob(mu, log_std, batch["action"])
+        ratio = jnp.exp(logp - batch["logp"])
+        adv = batch["adv"]
+        surr1 = ratio * adv
+        surr2 = jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip) * adv
+        a_loss = -jnp.minimum(surr1, surr2).mean()
+
+        ret = batch["ret"]
+        old_value = batch["value"]
+        if cfg.normalize_value:
+            ret = rms_normalize(ts.value_rms, ret)
+            old_value = rms_normalize(ts.value_rms, old_value)
+        if cfg.clip_value:
+            v_clipped = old_value + jnp.clip(value - old_value, -cfg.e_clip, cfg.e_clip)
+            v_loss = jnp.maximum((value - ret) ** 2, (v_clipped - ret) ** 2).mean()
+        else:
+            v_loss = ((value - ret) ** 2).mean()
+
+        entropy = gaussian_entropy(log_std).mean()
+
+        # rl_games bounds loss (soft bound 1.1)
+        sb = 1.1
+        b_loss = (jnp.clip(mu - sb, 0.0, None) ** 2
+                  + jnp.clip(-sb - mu, 0.0, None) ** 2).sum(-1).mean()
+
+        total = (a_loss + 0.5 * v_loss * cfg.critic_coef
+                 - cfg.entropy_coef * entropy + cfg.bounds_loss_coef * b_loss)
+        kl = gaussian_kl(batch["mu"], batch["log_std"], mu, log_std).mean()
+        return total, dict(a_loss=a_loss, v_loss=v_loss, entropy=entropy,
+                           b_loss=b_loss, kl=kl)
+
+    # ------------------------------------------------------------------
+    def _adaptive_lr(self, lr, kl):
+        cfg = self.cfg
+        if cfg.lr_schedule != "adaptive":
+            return lr
+        lr = jnp.where(kl > 2.0 * cfg.kl_threshold, lr / 1.5, lr)
+        lr = jnp.where(kl < 0.5 * cfg.kl_threshold, lr * 1.5, lr)
+        return jnp.clip(lr, 1e-6, 1e-2)
+
+    # ------------------------------------------------------------------
+    def train_iteration(self, ts: TrainState, env_state: EnvState, key):
+        """One epoch: rollout + mini_epochs of minibatch SGD. Fully jitted."""
+        cfg = self.cfg
+        key, k_roll, k_perm = jax.random.split(key, 3)
+        env_state, traj = self.rollout(ts, env_state, k_roll)
+
+        _, _, last_value = self._policy(ts, env_state.obs)
+        advantages, returns = self.compute_gae(ts, traj, last_value)
+
+        # flatten (T, B) -> (T*B,)
+        def flat(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        batch = dict(
+            obs=flat(traj["obs"]), action=flat(traj["action"]),
+            logp=flat(traj["logp"]), value=flat(traj["value"]),
+            mu=flat(traj["mu"]), log_std=flat(traj["log_std"]),
+            adv=flat(advantages), ret=flat(returns),
+        )
+        if cfg.normalize_advantage:
+            adv = batch["adv"]
+            batch["adv"] = (adv - adv.mean()) / (adv.std() + 1e-8)
+
+        # update normalizers from this batch (rl_games updates online during
+        # rollout; batched update is equivalent in expectation)
+        if cfg.normalize_input:
+            ts = dataclasses.replace(ts, obs_rms=rms_update(ts.obs_rms, batch["obs"]))
+        if cfg.normalize_value:
+            ts = dataclasses.replace(ts, value_rms=rms_update(ts.value_rms, batch["ret"]))
+
+        N = batch["obs"].shape[0]
+        mb = min(cfg.minibatch_size, N)
+        nmb = N // mb
+
+        def mini_epoch(carry, k_ep):
+            params, opt_state, lr = carry
+            perm = jax.random.permutation(k_ep, N)
+
+            def mb_step(carry, idx):
+                params, opt_state, lr = carry
+                mb_batch = jax.tree.map(lambda x: x[idx], batch)
+                (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                    params, ts, mb_batch)
+                if self.axis_name is not None:
+                    # data-parallel gradient all-reduce over the env mesh axis
+                    grads = jax.lax.pmean(grads, self.axis_name)
+                    aux = jax.tree.map(lambda x: jax.lax.pmean(x, self.axis_name), aux)
+                updates, opt_state = self.optimizer.update(grads, opt_state, params)
+                updates = jax.tree.map(lambda u: u * lr, updates)
+                params = optax.apply_updates(params, updates)
+                lr = self._adaptive_lr(lr, aux["kl"])
+                return (params, opt_state, lr), aux
+
+            idxs = perm[: nmb * mb].reshape(nmb, mb)
+            (params, opt_state, lr), auxs = jax.lax.scan(
+                mb_step, (params, opt_state, lr), idxs)
+            return (params, opt_state, lr), auxs
+
+        keys = jax.random.split(k_perm, cfg.mini_epochs)
+        (params, opt_state, lr), auxs = jax.lax.scan(
+            mini_epoch, (ts.params, ts.opt_state, ts.lr), keys)
+
+        ts = dataclasses.replace(
+            ts, params=params, opt_state=opt_state, lr=lr, epoch=ts.epoch + 1)
+
+        metrics = dict(
+            reward_mean=traj["reward"].mean(),
+            episode_done_frac=traj["done"].mean(),
+            kl=auxs["kl"][-1].mean(),
+            a_loss=auxs["a_loss"].mean(),
+            v_loss=auxs["v_loss"].mean(),
+            entropy=auxs["entropy"].mean(),
+            lr=lr,
+        )
+        return ts, env_state, metrics
+
+    # ------------------------------------------------------------------
+    def train(self, num_epochs: int, seed: int = None, log_every: int = 10,
+              callback=None):
+        """Host-side driver loop (checkpointing/logging live here)."""
+        seed = self.cfg.seed if seed is None else seed
+        key = jax.random.key(seed)
+        key, k_init, k_env = jax.random.split(key, 3)
+        ts = self.init(k_init)
+        env_state = self.env.reset(k_env)
+        history = []
+        for epoch in range(num_epochs):
+            key, sub = jax.random.split(key)
+            ts, env_state, metrics = self._train_iter(ts, env_state, sub)
+            if epoch % log_every == 0 or epoch == num_epochs - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["epoch"] = epoch
+                history.append(m)
+                if callback:
+                    callback(epoch, ts, m)
+        return ts, env_state, history

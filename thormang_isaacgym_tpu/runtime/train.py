@@ -1,0 +1,125 @@
+"""Train/play CLI — parity with `/root/reference/isaacgymenvs/train.py`.
+
+Usage:
+  python -m thormang_isaacgym_tpu.runtime.train task=Cartpole max_iterations=50
+  python -m thormang_isaacgym_tpu.runtime.train task=Gogoro num_envs=1024
+  python -m thormang_isaacgym_tpu.runtime.train task=Gogoro test=true checkpoint=runs/Gogoro/nn/last.ckpt
+
+Maps the reference flow (`train.py:50-161`): config composition -> env
+creation -> PPO runner -> checkpoints under runs/<name>/nn/ + config dump to
+runs/<name>/config.yaml. Multi-device sharding replaces the torchrun
+multi-GPU path: if more than one JAX device is visible, the env axis is
+sharded automatically.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import yaml
+
+import thormang_isaacgym_tpu as tgx
+from thormang_isaacgym_tpu.learn.ppo import PPO, PPOConfig
+from thormang_isaacgym_tpu.runtime.checkpoint import load_train_state, save_train_state
+from thormang_isaacgym_tpu.utils.config import load_config
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    cfg = load_config(argv)
+    task_name = cfg["task_name"]
+    num_envs = cfg.get("num_envs") or cfg["task"].get("env", {}).get("numEnvs", 4096)
+    seed = int(cfg.get("seed", 42))
+
+    env = tgx.make(task_name, num_envs=int(num_envs), seed=seed)
+    ppo_cfg = PPOConfig.from_rlgames(cfg["train"]) if cfg["train"] else PPOConfig()
+
+    n_dev = len(jax.devices())
+    exp_name = cfg.get("experiment") or task_name
+    run_dir = os.path.join(cfg.get("output_root", "runs"), exp_name)
+    os.makedirs(os.path.join(run_dir, "nn"), exist_ok=True)
+    with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    if n_dev > 1 and int(num_envs) % n_dev == 0:
+        from thormang_isaacgym_tpu.parallel.mesh import ENV_AXIS, shard_ppo
+        ppo = PPO(env, ppo_cfg, axis_name=ENV_AXIS)
+        train_iter, init_fn = shard_ppo(ppo)
+        key = jax.random.key(seed)
+        ts, env_state = init_fn(key)
+    else:
+        ppo = PPO(env, ppo_cfg)
+        key = jax.random.key(seed)
+        key, k1, k2 = jax.random.split(key, 3)
+        ts = ppo.init(k1)
+        env_state = env.reset(k2)
+        train_iter = ppo._train_iter
+
+    ckpt = cfg.get("checkpoint")
+    if ckpt:
+        ts = load_train_state(ckpt, ts)
+        print(f"restored checkpoint {ckpt}")
+
+    if cfg.get("test"):
+        return play(env, ppo, ts, episodes=int(cfg.get("test_episodes", 3)))
+
+    max_iter = int(cfg.get("max_iterations", 1000))
+    log_path = os.path.join(run_dir, "metrics.jsonl")
+    best_reward = -float("inf")
+    t_start = time.time()
+    with open(log_path, "a") as logf:
+        for epoch in range(max_iter):
+            key, sub = jax.random.split(key)
+            ts, env_state, metrics = train_iter(ts, env_state, sub)
+            if epoch % 10 == 0 or epoch == max_iter - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["epoch"] = epoch
+                m["time"] = round(time.time() - t_start, 1)
+                m["env_steps"] = (epoch + 1) * ppo.cfg.horizon_length * env.num_envs
+                m["fps"] = round(m["env_steps"] / m["time"], 1)
+                print(json.dumps(m))
+                logf.write(json.dumps(m) + "\n")
+                logf.flush()
+                if m["reward_mean"] > best_reward:
+                    best_reward = m["reward_mean"]
+                    save_train_state(os.path.join(run_dir, "nn", "best.ckpt"), ts)
+            if epoch % 50 == 0:
+                save_train_state(os.path.join(run_dir, "nn", "last.ckpt"), ts)
+    save_train_state(os.path.join(run_dir, "nn", "last.ckpt"), ts)
+    print(f"done: best reward_mean {best_reward:.3f}; checkpoints in {run_dir}/nn")
+    return ts
+
+
+def play(env, ppo, ts, episodes=3):
+    """Deterministic policy evaluation (the reference's test=True path)."""
+    import numpy as np
+
+    key = jax.random.key(0)
+    state = env.reset(key)
+    step = jax.jit(env.step_fn, donate_argnums=(0,))
+    act = jax.jit(ppo.act_deterministic)
+    total, count = 0.0, 0
+    returns = np.zeros(env.num_envs)
+    for _ in range(env.task.max_episode_length * episodes):
+        actions = act(ts, state.obs)
+        state = step(state, actions)
+        r = np.asarray(state.reward)
+        d = np.asarray(state.done)
+        returns += r
+        finished = d > 0.5
+        if finished.any():
+            total += returns[finished].sum()
+            count += int(finished.sum())
+            returns[finished] = 0.0
+        if count >= episodes * env.num_envs:
+            break
+    mean_ret = total / max(count, 1)
+    print(json.dumps({"play_mean_return": mean_ret, "episodes": count}))
+    return mean_ret
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+"""Task registry — parity with
+`/root/reference/isaacgymenvs/tasks/__init__.py:54-78` (isaacgym_task_map).
+
+Tasks register lazily (import on first use) so importing the package does not
+pay for every task's asset compilation.
+"""
+from __future__ import annotations
+
+import importlib
+
+# name -> (module, class). Mirrors the reference's isaacgym_task_map; entries
+# are added as task families land.
+TASK_MAP = {
+    "Cartpole": ("thormang_isaacgym_tpu.tasks.cartpole", "Cartpole"),
+    "Gogoro": ("thormang_isaacgym_tpu.tasks.gogoro", "Gogoro"),
+}
+
+
+def get_task_class(name: str):
+    if name not in TASK_MAP:
+        raise KeyError(f"unknown task {name!r}; known: {sorted(TASK_MAP)}")
+    module, cls = TASK_MAP[name]
+    return getattr(importlib.import_module(module), cls)
+
+
+def make(task_name: str, num_envs: int | None = None, seed: int = 42, **overrides):
+    """Instantiate a task and wrap it in a VecEnv.
+
+    Parity with `isaacgymenvs.make` (`/root/reference/isaacgymenvs/__init__.py:14`).
+    """
+    from thormang_isaacgym_tpu.engine.env import VecEnv
+
+    cls = get_task_class(task_name)
+    kwargs = dict(overrides)
+    if num_envs is not None:
+        kwargs["num_envs"] = num_envs
+    task = cls(seed=seed, **kwargs)
+    return VecEnv(task)

@@ -54,7 +54,7 @@ class Cartpole(Task):
         return q, qd, params, task
 
     def pre_physics(self, state, actions):
-        B = self.num_envs
+        B = actions.shape[0]
         effort = jnp.zeros((B, self.model.nj)).at[:, self.slider].set(
             actions[:, 0] * self.max_effort)
         ctrl = Controls(jnp.zeros((B, self.model.nj)), jnp.zeros((B, self.model.nj)), effort)

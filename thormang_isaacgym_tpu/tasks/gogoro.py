@@ -75,10 +75,12 @@ NOISES = dict(
 )
 
 WHEEL_OVERRIDE = {
-    # wheel mesh -> disk: r=0.2, half-width 0.045; URDF cylinder axis is
-    # local z, the wheel spins about link y -> rotate z onto y
+    # wheel mesh -> disk: r=0.2, half-width 0.045 (measured from
+    # wheel_V3.obj: disk in mesh xy-plane, thin axis = mesh z). The override
+    # composes with the URDF collision origin rpy(1.5708,0,0), which already
+    # maps mesh z onto the link's y spin axis -> identity quat here.
     "type": "cylinder", "size": (0.2, 0.045),
-    "pos": (0, 0, 0), "quat": (0.70710678, -0.70710678, 0.0, 0.0),
+    "pos": (0, 0, 0), "quat": (1.0, 0.0, 0.0, 0.0),
 }
 
 
@@ -253,7 +255,7 @@ class Gogoro(Task):
     # ------------------------------------------------------------------
     def pre_physics(self, state, actions):
         """Parity: pre_physics_step (gogoro_new.py:347-369)."""
-        B = self.num_envs
+        B = actions.shape[0]
         t = state.task
         a = actions[:, 0]
         history = jnp.concatenate([t.action_history[:, 1:], a[:, None]], axis=1)
@@ -278,7 +280,7 @@ class Gogoro(Task):
         """Parity: post_physics_step + compute_obs_rwd
         (gogoro_new.py:373-462, 645-723)."""
         t = prev_task
-        B = self.num_envs
+        B = state.q.shape[0]
         root_quat = state.q[:, 3:7]
         roll, _, yaw = Q.to_euler_xyz(root_quat)
         omega_b = state.qd[:, 0:3]   # already body frame
