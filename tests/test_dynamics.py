@@ -59,7 +59,7 @@ def test_pendulum_energy_conservation(pendulum):
     def run(q, qd):
         def body(c, _):
             q, qd = c
-            return step(params, q, qd, ctrl, wrench), None
+            return step(params, q, qd, ctrl, wrench)[:2], None
         (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=2500)
         return q, qd
 
@@ -83,7 +83,7 @@ def test_pendulum_small_oscillation_period(pendulum):
     def run(q, qd):
         def body(c, _):
             q, qd = c
-            q, qd = step(params, q, qd, ctrl, wrench)
+            q, qd, _ = step(params, q, qd, ctrl, wrench)
             return (q, qd), q[0, 0]
         (_, _), traj = jax.lax.scan(body, (q, qd), None, length=4000)
         return traj
@@ -130,7 +130,7 @@ def test_double_pendulum_energy(pendulum):
     def run(q, qd):
         def body(c, _):
             q, qd = c
-            return step(params, q, qd, ctrl, wrench), None
+            return step(params, q, qd, ctrl, wrench)[:2], None
         (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=3000)
         return q, qd
 
@@ -189,7 +189,7 @@ def test_floating_free_fall_and_momentum():
     def run(q, qd):
         def body(c, _):
             q, qd = c
-            return step(params, q, qd, ctrl, wrench), None
+            return step(params, q, qd, ctrl, wrench)[:2], None
         (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=1000)
         return q, qd
 
@@ -224,7 +224,7 @@ def test_ball_drop_settles():
     def run(q, qd):
         def body(c, _):
             q, qd = c
-            return step(params, q, qd, ctrl, wrench), None
+            return step(params, q, qd, ctrl, wrench)[:2], None
         (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=600)
         return q, qd
 
@@ -247,7 +247,7 @@ def test_locked_joints_transmit_inertia(pendulum):
     q = jnp.array([[0.7]])
     qd = jnp.array([[0.0]])
     for _ in range(10):
-        q, qd = step(pb, q, qd, zero_controls(pendulum, 1), jnp.zeros((1, pendulum.nb, 6)))
+        q, qd, _ = step(pb, q, qd, zero_controls(pendulum, 1), jnp.zeros((1, pendulum.nb, 6)))
     np.testing.assert_allclose(float(q[0, 0]), 0.7, atol=1e-6)
     np.testing.assert_allclose(float(qd[0, 0]), 0.0, atol=1e-8)
 
@@ -276,7 +276,7 @@ def test_pd_drive_tracks_target(pendulum):
     def run(q, qd):
         def body(c, _):
             q, qd = c
-            return step(pb, q, qd, ctrl, wrench), None
+            return step(pb, q, qd, ctrl, wrench)[:2], None
         (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=1000)
         return q, qd
 

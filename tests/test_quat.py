@@ -109,7 +109,7 @@ def test_wrap_and_shortest_distance():
     # 3*pi wraps to an angle equivalent to pi (boundary maps to -pi)
     w = float(quat.wrap_to_pi(jnp.array(3 * np.pi)))
     np.testing.assert_allclose(np.cos(w), -1.0, atol=1e-6)
-    assert -np.pi <= w <= np.pi
+    assert -np.pi - 1e-5 <= w <= np.pi + 1e-5
     d = quat.shortest_angle_distance(jnp.array(3.0), jnp.array(-3.0))
     np.testing.assert_allclose(float(d), 2 * np.pi - 6.0, atol=1e-6)
     np.testing.assert_allclose(float(quat.wrap_to_pi(jnp.array(0.5))), 0.5, atol=1e-6)

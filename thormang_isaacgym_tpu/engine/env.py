@@ -49,8 +49,13 @@ class EnvState:
     done: jnp.ndarray         # (B,) 1.0 where env must reset next step
     timeout: jnp.ndarray      # (B,) 1.0 where done was due to episode length
     progress: jnp.ndarray     # (B,) int32 steps since reset
+    net_contact: jnp.ndarray  # (B, nb, 3) per-body net ground-contact force
     key: jnp.ndarray          # single PRNG key driving all streams
     episode: jnp.ndarray      # (B,) int32 episode counter (PRNG stream salt)
+    global_step: jnp.ndarray  # scalar int32, steps since init (DR schedules)
+    last_rand: jnp.ndarray    # (B,) int32 global_step of last DR application
+    episode_return: jnp.ndarray       # (B,) running sum of rewards this episode
+    last_episode_return: jnp.ndarray  # (B,) return of the last finished episode
     task: Any                 # task-specific pytree (commands, buffers, ...)
     metrics: Any              # dict of (B,) episode accumulators
 
@@ -115,6 +120,14 @@ class Task:
         return actions
 
 
+def mask_select_with(mask, new, old, B):
+    """Masked pytree select along the env axis."""
+    def sel(n, o):
+        m = mask.reshape((B,) + (1,) * (n.ndim - 1))
+        return jnp.where(m, n, o)
+    return jax.tree.map(sel, new, old)
+
+
 def _env_keys(key, episode, salt):
     """Per-env keys: fold in env id and episode counter — deterministic,
     collision-free streams."""
@@ -142,6 +155,12 @@ class VecEnv:
         self.num_envs = task.num_envs
         self.num_obs = task.num_obs
         self.num_actions = task.num_actions
+        # domain randomization (task.dr_config follows the reference's
+        # randomization_params schema; see engine/dr.py)
+        from thormang_isaacgym_tpu.engine.dr import make_dr_fn
+        dr_cfg = task.dr_config or {}
+        self._dr_fn, self._dr_active = make_dr_fn(dr_cfg)
+        self._dr_freq = int(dr_cfg.get("frequency", 600))
         self._step = jax.jit(self.step_fn, donate_argnums=(0,))
         self._reset = jax.jit(self.init_fn)
 
@@ -155,6 +174,9 @@ class VecEnv:
         episode = jnp.zeros(B, jnp.int32)
         keys = _env_keys(key, episode, 0)
         q, qd, params, task_state = jax.vmap(task.reset_fn)(keys, params0, task_state)
+        if self._dr_active:
+            base = task.model.default_params().batch(B)
+            params = jax.vmap(self._dr_fn)(keys, params, base)
         state = EnvState(
             q=q, qd=qd, params=params,
             obs=jnp.zeros((B, task.num_obs)),
@@ -162,8 +184,13 @@ class VecEnv:
             done=jnp.zeros(B),
             timeout=jnp.zeros(B),
             progress=jnp.zeros(B, jnp.int32),
+            net_contact=jnp.zeros((B, task.model.nb, 3)),
             key=key,
             episode=episode,
+            global_step=jnp.asarray(0, jnp.int32),
+            last_rand=jnp.zeros(B, jnp.int32),
+            episode_return=jnp.zeros(B),
+            last_episode_return=jnp.zeros(B),
             task=task_state,
             metrics={},
         )
@@ -197,10 +224,23 @@ class VecEnv:
         params = mask_select(params_r, state.params)
         task_state = mask_select(task_r, state.task)
         progress = jnp.where(do_reset, 0, state.progress)
+        last_rand = state.last_rand
 
+        # frequency-gated DR on reset (vec_task.py:547-566)
+        if self._dr_active:
+            due = do_reset & (state.global_step - state.last_rand >= self._dr_freq)
+            base = task.model.default_params().batch(B)
+            dr_keys = _env_keys(jax.random.fold_in(key, 23), episode, 29)
+            params_dr = jax.vmap(self._dr_fn)(dr_keys, params, base)
+            params = mask_select_with(due, params_dr, params, B)
+            last_rand = jnp.where(due, state.global_step, state.last_rand)
+
+        episode_return = jnp.where(do_reset, 0.0, state.episode_return)
         state = dataclasses.replace(
             state, q=q, qd=qd, params=params, task=task_state,
-            progress=progress, episode=episode)
+            progress=progress, episode=episode, last_rand=last_rand,
+            episode_return=episode_return,
+            global_step=state.global_step + 1)
 
         # ---- 2. action noise + clip (vec_task.py:324-327) ----
         actions = task.action_noise(jax.random.fold_in(key, 2), actions)
@@ -211,9 +251,10 @@ class VecEnv:
         state = dataclasses.replace(state, task=task_state)
         q, qd = state.q, state.qd
         for _ in range(task.control_freq_inv):
-            q, qd = self.physics_step(state.params, q, qd, ctrl, wrench)
+            q, qd, net = self.physics_step(state.params, q, qd, ctrl, wrench)
         progress = state.progress + 1
-        state = dataclasses.replace(state, q=q, qd=qd, progress=progress)
+        state = dataclasses.replace(state, q=q, qd=qd, progress=progress,
+                                    net_contact=net)
 
         # ---- 4. post-physics: obs / reward / done ----
         obs, reward, done_task, task_state, metrics = task.post_physics(state, task_state)
@@ -224,9 +265,17 @@ class VecEnv:
         obs = task.observation_noise(jax.random.fold_in(key, 3), obs, task_state)
         obs = jnp.clip(obs, -task.clip_obs, task.clip_obs)
 
+        # episode-return bookkeeping (the reference's episode_sums ->
+        # extras["episode"] pattern, anymal_terrain.py:152-156)
+        episode_return = state.episode_return + reward
+        last_episode_return = jnp.where(
+            done > 0, episode_return, state.last_episode_return)
+
         return dataclasses.replace(
             state, obs=obs, reward=reward, done=done,
             timeout=jnp.logical_and(timeout, done_task < 0.5).astype(jnp.float32),
+            episode_return=episode_return,
+            last_episode_return=last_episode_return,
             task=task_state, key=key, metrics=metrics)
 
     # ------------------------------------------------------------------

@@ -356,6 +356,7 @@ class PPO:
 
         metrics = dict(
             reward_mean=traj["reward"].mean(),
+            episode_return_mean=env_state.last_episode_return.mean(),
             episode_done_frac=traj["done"].mean(),
             kl=auxs["kl"][-1].mean(),
             a_loss=auxs["a_loss"].mean(),

@@ -187,6 +187,16 @@ def load_urdf(
             pos = pos + _quat_to_matrix(q) @ np.asarray(extra_pos)
             q = _quat_mul(q, np.asarray(extra_quat))
             ln.geoms.append((gtype, size, pos, q, cname or ln.name))
+        if not ln.geoms and ln.name in mesh_overrides:
+            # override may ADD collision to a link that declares none
+            # (e.g. thormang3.urdf carries no <collision> tags at all)
+            ov = mesh_overrides[ln.name]
+            gt = {"sphere": GEOM_SPHERE, "capsule": GEOM_CAPSULE,
+                  "box": GEOM_BOX, "cylinder": GEOM_CYLINDER}[ov["type"]]
+            ln.geoms.append((gt, tuple(ov["size"]),
+                             np.asarray(ov.get("pos", (0, 0, 0)), dtype=float),
+                             np.asarray(ov.get("quat", (1, 0, 0, 0)), dtype=float),
+                             ln.name))
         links[ln.name] = ln
 
     # ---- parse joints ----

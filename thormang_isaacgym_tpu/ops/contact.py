@@ -74,6 +74,8 @@ def ground_contact_forces(
     friction_vel: float = 0.05,
     plane_friction: float = 1.0,
     ground_height_fn=None,
+    dt: float | None = None,
+    beta: float = 0.5,
 ):
     """Per-body external spatial force from ground contact.
 
@@ -135,7 +137,22 @@ def ground_contact_forces(
     vt_norm = jnp.linalg.norm(vt, axis=-1)
 
     mu = params.geom_friction[cand_geom] * plane_friction
-    fn = stiffness * depth - damping * vn
+    kn = jnp.asarray(stiffness)
+    kd = jnp.asarray(damping)
+    if dt is not None:
+        # Stability clamp on the spring-damper COEFFICIENTS, per contact:
+        # explicit integration of a penalty spring on a body of mass m is
+        # stable only for omega*h = sqrt(k/m)*h <~ 0.5 and c <~ 0.5 m/h.
+        # Light bodies (0.07 kg ant feet) get a proportionally softer
+        # contact; heavy ones (the 150 kg scooter) keep the configured
+        # stiffness. A stable spring is dissipative — no energy injection,
+        # no bounce — unlike capping the force itself. Replaces the role of
+        # PhysX's solver iterations + max_depenetration_velocity
+        # (cfg/task/Gogoro.yaml:15-31).
+        m_eff = params.body_mass[gbody]
+        kn = jnp.minimum(kn, 0.25 * m_eff / dt**2)
+        kd = jnp.minimum(kd, 0.5 * m_eff / dt)
+    fn = kn * depth - kd * vn
     fn = jnp.where(active, jnp.maximum(fn, 0.0), 0.0)
     # regularized Coulomb friction
     ft_mag = mu * fn * jnp.tanh(vt_norm / friction_vel)

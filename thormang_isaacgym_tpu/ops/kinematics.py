@@ -6,6 +6,10 @@ Replaces the reference's rigid-body state tensor
 refreshing a C++ buffer, body states are a pure function of (q, qd) computed
 inside the same XLA program as dynamics/contact — "refresh" is a no-op.
 
+Level-scheduled: all bodies at the same tree depth update in one vectorized
+op (see ops/levels.py), so the op count scales with tree *depth* (~10 for
+the scooter), not body count (40).
+
 Written for a single env; the caller vmaps over the env axis.
 
 State layout (floating base):
@@ -23,6 +27,7 @@ import numpy as np
 
 from thormang_isaacgym_tpu.core import quat as Q
 from thormang_isaacgym_tpu.models.robot import PRISMATIC, REVOLUTE, RobotModel
+from thormang_isaacgym_tpu.ops.levels import body_levels, static_arrays
 
 
 class BodyFrames(NamedTuple):
@@ -48,18 +53,14 @@ def split_qd(model: RobotModel, qd: jnp.ndarray):
 
 
 def joint_local_pose(model: RobotModel, joint_q: jnp.ndarray):
-    """Pose of each non-root body in its parent frame: (nj, 3) pos, (nj, 4) quat.
-
-    Computed vectorized over joints (no per-joint Python loop for the pose
-    math itself; only the tree accumulation below is unrolled).
-    """
+    """Pose of each non-root body in its parent frame: (nj, 3) pos, (nj, 4)
+    quat. Fully vectorized over joints."""
     j_pos = jnp.asarray(np.array(model.joint_pos, dtype=np.float32).reshape(-1, 3))
     j_quat = jnp.asarray(np.array(model.joint_quat, dtype=np.float32).reshape(-1, 4))
-    axis = jnp.asarray(np.array(model.joint_axis, dtype=np.float32).reshape(-1, 3))
-    jtype = np.array(model.joint_type)  # static
+    _, axis, is_rev, _ = static_arrays(model)
+    axis = jnp.asarray(axis)
+    is_rev = jnp.asarray(is_rev)
 
-    is_rev = jnp.asarray((jtype == REVOLUTE).astype(np.float32))[:, None]
-    # revolute: extra rotation about axis; prismatic: extra translation
     rot_angle = joint_q * is_rev[:, 0]
     q_rot = Q.from_axis_angle(axis, rot_angle)
     quat_local = Q.mul(j_quat, q_rot)
@@ -68,45 +69,45 @@ def joint_local_pose(model: RobotModel, joint_q: jnp.ndarray):
     return pos_local, quat_local
 
 
-def forward_kinematics(model: RobotModel, q: jnp.ndarray, qd: jnp.ndarray) -> BodyFrames:
-    """World pose + velocity of all movable bodies. Single env."""
+def forward_kinematics(model: RobotModel, q: jnp.ndarray, qd: jnp.ndarray,
+                       local=None) -> BodyFrames:
+    """World pose + velocity of all movable bodies. Single env.
+
+    `local` optionally supplies precomputed (pos_local, quat_local) from
+    :func:`joint_local_pose` so the sim step shares it with the dynamics.
+    """
     root_pos, root_quat, joint_q = split_q(model, q)
     root_omega_b, root_v_b, joint_qd = split_qd(model, qd)
 
-    pos_local, quat_local = joint_local_pose(model, joint_q)
-    axis = jnp.asarray(np.array(model.joint_axis, dtype=np.float32).reshape(-1, 3))
-    jtype = np.array(model.joint_type)
-    parent = model.parent
+    pos_local, quat_local = local if local is not None else joint_local_pose(model, joint_q)
+    levels, _ = body_levels(model)
+    parent, axis, is_rev, _ = static_arrays(model)
+    axis = jnp.asarray(axis)
 
-    pos = [root_pos]
-    quat = [root_quat]
-    omega = [Q.rotate(root_quat, root_omega_b)]
-    vel = [Q.rotate(root_quat, root_v_b)]
+    nb = model.nb
+    pos = jnp.zeros((nb, 3)).at[0].set(root_pos)
+    quat = jnp.zeros((nb, 4)).at[0].set(root_quat)
+    omega = jnp.zeros((nb, 3)).at[0].set(Q.rotate(root_quat, root_omega_b))
+    vel = jnp.zeros((nb, 3)).at[0].set(Q.rotate(root_quat, root_v_b))
 
-    for i in range(1, model.nb):
-        j = i - 1
-        p = parent[i]
-        pw = pos[p] + Q.rotate(quat[p], pos_local[j])
-        qw = Q.mul(quat[p], quat_local[j])
-        # joint motion contribution (world frame). The joint axis is invariant
-        # under the joint's own rotation, so rotating by qw is valid for both
-        # revolute and prismatic joints.
+    for L in levels:
+        j = L - 1                      # joint index of each body in level
+        p = parent[L]                  # static numpy parent indices
+        pq, pp = quat[p], pos[p]
+        pw = pp + Q.rotate(pq, pos_local[j])
+        qw = Q.mul(pq, quat_local[j])
+        # the joint axis is invariant under the joint's own rotation
         axis_w = Q.rotate(qw, axis[j])
-        if jtype[j] == REVOLUTE:
-            om = omega[p] + axis_w * joint_qd[j]
-            vl = vel[p] + jnp.cross(omega[p], pw - pos[p])
-        else:  # PRISMATIC
-            om = omega[p]
-            vl = vel[p] + jnp.cross(omega[p], pw - pos[p]) + axis_w * joint_qd[j]
-        pos.append(pw)
-        quat.append(qw)
-        omega.append(om)
-        vel.append(vl)
+        qdj = joint_qd[j][:, None]
+        rev = jnp.asarray(is_rev[j])
+        om = omega[p] + axis_w * (qdj * rev)
+        vl = vel[p] + jnp.cross(omega[p], pw - pp) + axis_w * (qdj * (1.0 - rev))
+        pos = pos.at[L].set(pw)
+        quat = quat.at[L].set(qw)
+        omega = omega.at[L].set(om)
+        vel = vel.at[L].set(vl)
 
-    return BodyFrames(
-        pos=jnp.stack(pos), quat=jnp.stack(quat),
-        omega=jnp.stack(omega), vel=jnp.stack(vel),
-    )
+    return BodyFrames(pos=pos, quat=quat, omega=omega, vel=vel)
 
 
 def geom_world_poses(model: RobotModel, frames: BodyFrames):

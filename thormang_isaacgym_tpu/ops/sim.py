@@ -19,7 +19,9 @@ from thormang_isaacgym_tpu.core import quat as Q
 from thormang_isaacgym_tpu.models.robot import ModelParams, RobotModel
 from thormang_isaacgym_tpu.ops import contact as contact_mod
 from thormang_isaacgym_tpu.ops import dynamics as dyn
-from thormang_isaacgym_tpu.ops.kinematics import forward_kinematics, split_q, split_qd
+from thormang_isaacgym_tpu.ops.kinematics import (
+    forward_kinematics, joint_local_pose, split_q, split_qd,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -36,6 +38,7 @@ class SimParams:
     gravity: tuple = (0.0, 0.0, -9.81)
     contact_stiffness: float = 1.0e5
     contact_damping: float = 3.0e3
+    contact_beta: float = 0.5        # Baumgarte fraction for the force cap
     friction_vel: float = 0.05       # regularization velocity for Coulomb friction
     plane_friction: float = 1.0
     joint_limit_stiffness: float = 2000.0
@@ -69,12 +72,17 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
     # is only the default used when building ModelParams
     gravity = params.gravity
 
-    frames = forward_kinematics(model, q, qd)
-    f_ext_w, _net = contact_mod.ground_contact_forces(
+    _, _, joint_q = split_q(model, q)
+    _, _, joint_qd = split_qd(model, qd)
+    # joint-local poses computed once, shared by FK and ABA
+    local = joint_local_pose(model, joint_q)
+    frames = forward_kinematics(model, q, qd, local=local)
+    f_ext_w, net = contact_mod.ground_contact_forces(
         model, params, frames,
         stiffness=sp_.contact_stiffness, damping=sp_.contact_damping,
         friction_vel=sp_.friction_vel, plane_friction=sp_.plane_friction,
         ground_height_fn=ground_height_fn,
+        dt=h, beta=sp_.contact_beta,
     )
     f_ext_w = f_ext_w + body_wrench_w  # external pushes (apply_rigid_body_force_tensors)
 
@@ -85,16 +93,18 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
         (R_t @ f_ext_w[:, 3:6, None])[..., 0],
     ], axis=-1)
 
-    _, _, joint_q = split_q(model, q)
-    _, _, joint_qd = split_qd(model, qd)
-
+    joint_inertia = dyn.joint_reflected_inertia(model, params)
     tau = dyn.drive_torques(params, joint_q, joint_qd,
-                            ctrl.target_pos, ctrl.target_vel, ctrl.effort)
-    tau = tau + dyn.passive_torques(params, joint_q, joint_qd,
-                                    limit_stiffness=sp_.joint_limit_stiffness,
-                                    limit_damping=sp_.joint_limit_damping)
+                            ctrl.target_pos, ctrl.target_vel, ctrl.effort,
+                            dt=h, joint_inertia=joint_inertia)
+    tau = tau + dyn.passive_torques(
+        params, joint_q, joint_qd,
+        limit_stiffness=sp_.joint_limit_stiffness,
+        limit_damping=sp_.joint_limit_damping,
+        dt=h, joint_inertia=joint_inertia)
 
-    qdd = dyn.aba(model, params, q, qd, tau, f_ext, gravity)
+    qdd = dyn.aba(model, params, q, qd, tau, f_ext, gravity,
+                  precomputed=(local[0], local[1], frames.quat))
 
     # ---- semi-implicit Euler ----
     qd_new = qd + h * qdd
@@ -129,12 +139,16 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
         q_new = jq_new
         qd_new = jqd
 
-    return q_new, qd_new
+    return q_new, qd_new, net
 
 
 def build_step_fn(model: RobotModel, sim_params: SimParams,
                   ground_height_fn=None) -> Callable:
-    """Returns step(params, q, qd, ctrl, body_wrench_w) -> (q', qd'), batched.
+    """Returns step(params, q, qd, ctrl, body_wrench_w) -> (q', qd', net),
+    batched. net (B, nb, 3) is the per-body net ground-contact force from the
+    last substep — the `acquire_net_contact_force_tensor` equivalent
+    (e.g. `/root/reference/isaacgymenvs/tasks/humanoid.py:78-98` feet
+    sensors, `anymal.py` termination contacts).
 
     params leaves carry a leading env axis; q (B, nq); qd (B, nv);
     ctrl leaves (B, nj); body_wrench_w (B, nb, 6) world-frame external
@@ -144,11 +158,11 @@ def build_step_fn(model: RobotModel, sim_params: SimParams,
     def single_env_step(params, q, qd, ctrl, body_wrench_w):
         def body(carry, _):
             q, qd = carry
-            q, qd = _substep(model, sim_params, params, q, qd, ctrl,
-                             body_wrench_w, ground_height_fn)
-            return (q, qd), None
+            q, qd, net = _substep(model, sim_params, params, q, qd, ctrl,
+                                  body_wrench_w, ground_height_fn)
+            return (q, qd), net
 
-        (q, qd), _ = jax.lax.scan(body, (q, qd), None, length=sim_params.substeps)
-        return q, qd
+        (q, qd), nets = jax.lax.scan(body, (q, qd), None, length=sim_params.substeps)
+        return q, qd, nets[-1]
 
     return jax.vmap(single_env_step)

@@ -13,6 +13,9 @@ import importlib
 TASK_MAP = {
     "Cartpole": ("thormang_isaacgym_tpu.tasks.cartpole", "Cartpole"),
     "Gogoro": ("thormang_isaacgym_tpu.tasks.gogoro", "Gogoro"),
+    "Ant": ("thormang_isaacgym_tpu.tasks.ant", "Ant"),
+    "Humanoid": ("thormang_isaacgym_tpu.tasks.humanoid", "Humanoid"),
+    "Anymal": ("thormang_isaacgym_tpu.tasks.anymal", "Anymal"),
 }
 
 

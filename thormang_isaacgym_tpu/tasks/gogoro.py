@@ -171,10 +171,22 @@ class Gogoro(Task):
 
     def __init__(self, num_envs: int = 4096, seed: int = 42,
                  asset_path: str | None = None,
-                 reproduce_ref_obs_bug: bool = False, **_):
+                 reproduce_ref_obs_bug: bool = False,
+                 randomize: bool = False, **_):
         super().__init__(num_envs, seed)
         self.model = _build_model(asset_path)
         self.reproduce_ref_obs_bug = reproduce_ref_obs_bug
+        if randomize:
+            # parity: cfg/task/Gogoro.yaml:95-113 randomization_params
+            self.dr_config = {
+                "frequency": 600,
+                "sim_params": {"gravity": {
+                    "range": [0.95, 1.05], "operation": "scaling",
+                    "distribution": "uniform"}},
+                "actor_params": {"Gogoro": {"rigid_body_properties": {
+                    "mass": {"range": [0.95, 1.05], "operation": "scaling",
+                             "distribution": "uniform"}}}},
+            }
         self.sim_params = SimParams(
             dt=0.03, substeps=6,  # ref: 3 PhysX TGS substeps; penalty contact needs 5ms
             gravity=(0.0, 0.0, -9.81),
