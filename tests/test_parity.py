@@ -1,0 +1,25 @@
+"""Golden-trajectory regression tests: fixed-seed random-action rollouts must
+reproduce recorded goldens exactly (detects silent physics/task drift).
+Regenerate intentionally with REGEN_GOLDENS=1."""
+import os
+
+import pytest
+
+import thormang_isaacgym_tpu as tgx
+from thormang_isaacgym_tpu.parity.harness import check_or_record
+
+
+def test_cartpole_golden():
+    env = tgx.make("Cartpole", num_envs=8, seed=0)
+    assert check_or_record("cartpole_8env_50step", env, steps=50) in ("recorded", "matched")
+
+
+def test_ant_golden():
+    env = tgx.make("Ant", num_envs=4, seed=0)
+    assert check_or_record("ant_4env_30step", env, steps=30) in ("recorded", "matched")
+
+
+@pytest.mark.skipif(not os.path.exists("/root/reference/assets"), reason="no reference assets")
+def test_gogoro_golden():
+    env = tgx.make("Gogoro", num_envs=4, seed=0)
+    assert check_or_record("gogoro_4env_30step", env, steps=30) in ("recorded", "matched")

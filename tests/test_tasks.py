@@ -114,3 +114,20 @@ def test_anymal_stands_with_default_pose():
     z = np.asarray(final.q[:, 2])
     # PD holds the default crouch: base stays up around ~0.5 m
     assert (z > 0.3).all() and (z < 0.9).all(), z
+
+
+def test_anymal_terrain_rollout():
+    env = tgx.make("AnymalTerrain", num_envs=8, seed=0,
+                   num_levels=4, num_types=4)
+    assert env.num_obs == 188
+    state = env.reset(jax.random.key(0))
+    # spawned on the terrain grid at per-env origins
+    assert np.asarray(state.q[:, 0]).std() > 0.1 or np.asarray(state.q[:, 1]).std() > 0.1
+    final, (rew, done) = rollout(env, state, 40)
+    assert np.isfinite(np.asarray(final.q)).all()
+    assert np.isfinite(np.asarray(rew)).all()
+    obs = np.asarray(final.obs)
+    assert obs.shape == (8, 188)
+    # height scan channel occupied (terrain non-flat somewhere)
+    heights = obs[:, 24:164]
+    assert np.isfinite(heights).all()

@@ -161,8 +161,11 @@ def ground_contact_forces(
     f = ft.at[:, 2].add(fn)                       # (M,3) world force
     torque = jnp.cross(contact_p - body_pos, f)   # about body origin
 
-    f_ext = jnp.zeros((model.nb, 6))
-    f_ext = f_ext.at[gbody, 0:3].add(torque)
-    f_ext = f_ext.at[gbody, 3:6].add(f)
-    net = jnp.zeros((model.nb, 3)).at[gbody].add(f)
+    # accumulate to bodies by one-hot matmul (constant (nb, M) matrix) —
+    # avoids XLA scatter, which serializes on TPU
+    onehot = np.zeros((model.nb, len(gbody)), np.float32)
+    onehot[gbody, np.arange(len(gbody))] = 1.0
+    B = jnp.asarray(onehot)
+    f_ext = jnp.concatenate([B @ torque, B @ f], axis=-1)  # (nb, 6)
+    net = B @ f
     return f_ext, net

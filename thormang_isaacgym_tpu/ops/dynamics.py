@@ -32,7 +32,7 @@ from thormang_isaacgym_tpu.core import quat as Q
 from thormang_isaacgym_tpu.core import spatial as sp
 from thormang_isaacgym_tpu.models.robot import ModelParams, RobotModel
 from thormang_isaacgym_tpu.ops.kinematics import joint_local_pose, split_q, split_qd
-from thormang_isaacgym_tpu.ops.levels import body_levels, static_arrays
+from thormang_isaacgym_tpu.ops.levels import body_levels, level_structure, static_arrays
 
 _LOCK_BIG = 1e12
 
@@ -55,9 +55,11 @@ def aba(
 
 
 def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None):
-    nb = model.nb
-    levels, _ = body_levels(model)
-    parent_np, _, _, S_np = static_arrays(model)
+    """Banded level sweeps: per-level chunks with static slices, constant
+    -index parent gathers, and one-hot-matmul scatter-adds — no XLA scatter
+    ops (they serialize badly on TPU)."""
+    struct = level_structure(model)
+    _, _, _, S_np = static_arrays(model)
     S_all = jnp.asarray(S_np)            # (nj, 6)
 
     _, root_quat, joint_q = split_q(model, q)
@@ -70,72 +72,78 @@ def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None):
         quat_w = None
     R_loc = Q.to_matrix(quat_local)      # (nj, 3, 3)
 
-    # ---- pass 1: velocities + bias terms (outward, level-batched) ----
-    v = jnp.zeros((nb, 6)).at[0].set(jnp.concatenate([root_omega_b, root_v_b]))
-    c_bias = jnp.zeros((nb, 6))
-    if quat_w is None:
-        qw_arr = jnp.zeros((nb, 4)).at[0].set(root_quat)
-    for L in levels:
-        j = L - 1
-        p = parent_np[L]
+    # ---- pass 1: velocities + bias terms (outward, banded) ----
+    v_c = [jnp.concatenate([root_omega_b, root_v_b])[None]]
+    c_c = [jnp.zeros((1, 6))]
+    qw_c = [root_quat[None]] if quat_w is None else None
+    for lv in struct:
+        j = slice(lv["start"] - 1, lv["end"] - 1)
+        p = lv["parent_local"]
         vj = S_all[j] * joint_qd[j][:, None]
-        vi = sp.motion_to_child(R_loc[j], pos_local[j], v[p]) + vj
-        v = v.at[L].set(vi)
-        c_bias = c_bias.at[L].set(sp.cross_motion(vi, vj))
-        if quat_w is None:
-            qw_arr = qw_arr.at[L].set(Q.mul(qw_arr[p], quat_local[j]))
+        vi = sp.motion_to_child(R_loc[j], pos_local[j], v_c[-1][p]) + vj
+        v_c.append(vi)
+        c_c.append(sp.cross_motion(vi, vj))
+        if qw_c is not None:
+            qw_c.append(Q.mul(qw_c[-1][p], quat_local[j]))
+    v = jnp.concatenate(v_c)
     if quat_w is None:
-        quat_w = qw_arr
+        quat_w = jnp.concatenate(qw_c)
 
     # ---- body spatial inertias + bias forces (fully vectorized) ----
     mass = params.body_mass
     com = params.body_com
     I_com = params.body_inertia
-    IA = sp.inertia_matrix(mass, com, I_com)             # (nb, 6, 6)
+    IA_full = sp.inertia_matrix(mass, com, I_com)        # (nb, 6, 6)
     Iv = sp.inertia_mul(mass, com, I_com, v)             # (nb, 6)
+    nb = model.nb
     g_local = Q.rotate_inv(quat_w, jnp.broadcast_to(gravity, (nb, 3)))
     f_grav = jnp.concatenate(
         [jnp.cross(com, mass[:, None] * g_local), mass[:, None] * g_local], axis=-1)
-    pA = sp.cross_force(v, Iv) - f_ext - f_grav          # (nb, 6)
+    pA_full = sp.cross_force(v, Iv) - f_ext - f_grav     # (nb, 6)
 
-    # ---- pass 2: articulated inertia (inward, level-batched) ----
-    U_all = jnp.zeros((nb, 6))
-    D_all = jnp.ones(nb)
-    u_all = jnp.zeros(nb)
-    for L in reversed(levels):
-        j = L - 1
-        p = parent_np[L]
-        Sj = S_all[j]                                     # (L, 6)
-        IA_L = IA[L]
-        Ui = (IA_L @ Sj[..., None])[..., 0]               # (L, 6)
+    # chunk IA/pA per level (index 0 = root chunk)
+    IA_c = [IA_full[0:1]] + [IA_full[lv["start"]:lv["end"]] for lv in struct]
+    pA_c = [pA_full[0:1]] + [pA_full[lv["start"]:lv["end"]] for lv in struct]
+
+    # ---- pass 2: articulated inertia (inward, banded) ----
+    U_c = [None] * len(struct)
+    D_c = [None] * len(struct)
+    u_c = [None] * len(struct)
+    for k in range(len(struct) - 1, -1, -1):
+        lv = struct[k]
+        j = slice(lv["start"] - 1, lv["end"] - 1)
+        Sj = S_all[j]                                     # (n_k, 6)
+        IA_L = IA_c[k + 1]
+        Ui = (IA_L @ Sj[..., None])[..., 0]               # (n_k, 6)
         Di = jnp.sum(Sj * Ui, axis=-1) + params.dof_armature[j] \
             + params.dof_locked[j] * _LOCK_BIG
-        ui = tau[j] - jnp.sum(Sj * pA[L], axis=-1)
-        U_all = U_all.at[L].set(Ui)
-        D_all = D_all.at[L].set(Di)
-        u_all = u_all.at[L].set(ui)
+        ui = tau[j] - jnp.sum(Sj * pA_c[k + 1], axis=-1)
+        U_c[k], D_c[k], u_c[k] = Ui, Di, ui
         Ia = IA_L - Ui[:, :, None] * (Ui[:, None, :] / Di[:, None, None])
-        pa = pA[L] + (Ia @ c_bias[L][..., None])[..., 0] + Ui * (ui / Di)[:, None]
-        IA_c = sp.transform_inertia_to_parent(R_loc[j], pos_local[j], Ia)
-        pa_c = sp.force_to_parent(R_loc[j], pos_local[j], pa)
-        IA = IA.at[p].add(IA_c)
-        pA = pA.at[p].add(pa_c)
+        pa = pA_c[k + 1] + (Ia @ c_c[k + 1][..., None])[..., 0] + Ui * (ui / Di)[:, None]
+        IA_t = sp.transform_inertia_to_parent(R_loc[j], pos_local[j], Ia)
+        pa_t = sp.force_to_parent(R_loc[j], pos_local[j], pa)
+        # accumulate into the parent level by one-hot matmul (n_prev, n_k)
+        scat = jnp.asarray(lv["scatter"])
+        IA_c[k] = IA_c[k] + jnp.einsum("pk,kij->pij", scat, IA_t)
+        pA_c[k] = pA_c[k] + scat @ pa_t
 
-    # ---- pass 3: accelerations (outward, level-batched) ----
+    # ---- pass 3: accelerations (outward, banded) ----
     if model.floating:
-        a_root = -jnp.linalg.solve(IA[0] + 1e-9 * jnp.eye(6), pA[0])
+        a_root = -jnp.linalg.solve(IA_c[0][0] + 1e-9 * jnp.eye(6), pA_c[0][0])
     else:
         a_root = jnp.zeros(6)
-    a = jnp.zeros((nb, 6)).at[0].set(a_root)
-    qdd_j = jnp.zeros(model.nj)
-    for L in levels:
-        j = L - 1
-        p = parent_np[L]
-        a_p = sp.motion_to_child(R_loc[j], pos_local[j], a[p]) + c_bias[L]
-        qdd_i = (u_all[L] - jnp.sum(U_all[L] * a_p, axis=-1)) / D_all[L]
-        a = a.at[L].set(a_p + S_all[j] * qdd_i[:, None])
-        qdd_j = qdd_j.at[j].set(qdd_i)
+    a_c = [a_root[None]]
+    qdd_c = []
+    for k, lv in enumerate(struct):
+        j = slice(lv["start"] - 1, lv["end"] - 1)
+        p = lv["parent_local"]
+        a_p = sp.motion_to_child(R_loc[j], pos_local[j], a_c[-1][p]) + c_c[k + 1]
+        qdd_i = (u_c[k] - jnp.sum(U_c[k] * a_p, axis=-1)) / D_c[k]
+        a_c.append(a_p + S_all[j] * qdd_i[:, None])
+        qdd_c.append(qdd_i)
 
+    qdd_j = jnp.concatenate(qdd_c) if qdd_c else jnp.zeros(0)
     # locked joints: hard-zero acceleration (D inflation already makes this ~0)
     qdd_j = qdd_j * (1.0 - params.dof_locked)
     if model.floating:

@@ -27,7 +27,7 @@ import numpy as np
 
 from thormang_isaacgym_tpu.core import quat as Q
 from thormang_isaacgym_tpu.models.robot import PRISMATIC, REVOLUTE, RobotModel
-from thormang_isaacgym_tpu.ops.levels import body_levels, static_arrays
+from thormang_isaacgym_tpu.ops.levels import body_levels, level_structure, static_arrays
 
 
 class BodyFrames(NamedTuple):
@@ -80,34 +80,38 @@ def forward_kinematics(model: RobotModel, q: jnp.ndarray, qd: jnp.ndarray,
     root_omega_b, root_v_b, joint_qd = split_qd(model, qd)
 
     pos_local, quat_local = local if local is not None else joint_local_pose(model, joint_q)
-    levels, _ = body_levels(model)
-    parent, axis, is_rev, _ = static_arrays(model)
+    struct = level_structure(model)
+    _, axis, is_rev, _ = static_arrays(model)
     axis = jnp.asarray(axis)
+    is_rev = jnp.asarray(is_rev)
 
-    nb = model.nb
-    pos = jnp.zeros((nb, 3)).at[0].set(root_pos)
-    quat = jnp.zeros((nb, 4)).at[0].set(root_quat)
-    omega = jnp.zeros((nb, 3)).at[0].set(Q.rotate(root_quat, root_omega_b))
-    vel = jnp.zeros((nb, 3)).at[0].set(Q.rotate(root_quat, root_v_b))
-
-    for L in levels:
-        j = L - 1                      # joint index of each body in level
-        p = parent[L]                  # static numpy parent indices
-        pq, pp = quat[p], pos[p]
+    # banded sweep: per-level chunks, static slices, constant-index parent
+    # gathers; one concatenate at the end. No scatters (TPU-hostile).
+    pos_c = [root_pos[None]]
+    quat_c = [root_quat[None]]
+    om_c = [Q.rotate(root_quat, root_omega_b)[None]]
+    vel_c = [Q.rotate(root_quat, root_v_b)[None]]
+    for lv in struct:
+        j = slice(lv["start"] - 1, lv["end"] - 1)
+        p = lv["parent_local"]
+        pp, pq = pos_c[-1][p], quat_c[-1][p]
+        pom, pvl = om_c[-1][p], vel_c[-1][p]
         pw = pp + Q.rotate(pq, pos_local[j])
         qw = Q.mul(pq, quat_local[j])
         # the joint axis is invariant under the joint's own rotation
         axis_w = Q.rotate(qw, axis[j])
         qdj = joint_qd[j][:, None]
-        rev = jnp.asarray(is_rev[j])
-        om = omega[p] + axis_w * (qdj * rev)
-        vl = vel[p] + jnp.cross(omega[p], pw - pp) + axis_w * (qdj * (1.0 - rev))
-        pos = pos.at[L].set(pw)
-        quat = quat.at[L].set(qw)
-        omega = omega.at[L].set(om)
-        vel = vel.at[L].set(vl)
+        rev = is_rev[j]
+        om = pom + axis_w * (qdj * rev)
+        vl = pvl + jnp.cross(pom, pw - pp) + axis_w * (qdj * (1.0 - rev))
+        pos_c.append(pw)
+        quat_c.append(qw)
+        om_c.append(om)
+        vel_c.append(vl)
 
-    return BodyFrames(pos=pos, quat=quat, omega=omega, vel=vel)
+    return BodyFrames(
+        pos=jnp.concatenate(pos_c), quat=jnp.concatenate(quat_c),
+        omega=jnp.concatenate(om_c), vel=jnp.concatenate(vel_c))
 
 
 def geom_world_poses(model: RobotModel, frames: BodyFrames):

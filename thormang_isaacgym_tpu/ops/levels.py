@@ -34,6 +34,43 @@ def body_levels(model: RobotModel):
 
 
 @lru_cache(maxsize=64)
+def level_structure(model: RobotModel):
+    """Banded tree structure exploiting BFS body ordering.
+
+    Bodies are emitted in BFS order by the URDF compiler, so each depth
+    level is a CONTIGUOUS index range and every parent of a level-k body
+    lies in level k-1. This lets the dynamics sweeps use static slices plus
+    tiny one-hot matmuls for parent gather/scatter-add — no XLA scatter ops
+    (which lower catastrophically on TPU) anywhere in the hot path.
+
+    Returns a list of per-level dicts:
+      start, end           — global body-index range [start, end)
+      parent_local (n_k,)  — parent's position within level k-1's range
+      gather (n_k, n_prev) — one-hot: x_parent = gather @ x_prev
+      scatter (n_prev, n_k)— transpose: accumulate into parents
+    Level 0 in this list is depth-1 (children of the root).
+    """
+    levels, depth = body_levels(model)
+    parent = np.array(model.parent, np.int32)
+    out = []
+    prev_start, prev_end = 0, 1  # the root "level"
+    for L in levels:
+        start, end = int(L.min()), int(L.max()) + 1
+        assert np.array_equal(L, np.arange(start, end)), \
+            "bodies not BFS-contiguous; regenerate model"
+        p = parent[L]
+        assert (p >= prev_start).all() and (p < prev_end).all()
+        p_local = (p - prev_start).astype(np.int32)
+        n_prev = prev_end - prev_start
+        gather = np.zeros((len(L), n_prev), np.float32)
+        gather[np.arange(len(L)), p_local] = 1.0
+        out.append(dict(start=start, end=end, parent_local=p_local,
+                        gather=gather, scatter=gather.T.copy()))
+        prev_start, prev_end = start, end
+    return out
+
+
+@lru_cache(maxsize=64)
 def static_arrays(model: RobotModel):
     """Static per-joint arrays used by the vectorized sweeps."""
     from thormang_isaacgym_tpu.models.robot import REVOLUTE

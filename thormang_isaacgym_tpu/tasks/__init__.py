@@ -16,6 +16,7 @@ TASK_MAP = {
     "Ant": ("thormang_isaacgym_tpu.tasks.ant", "Ant"),
     "Humanoid": ("thormang_isaacgym_tpu.tasks.humanoid", "Humanoid"),
     "Anymal": ("thormang_isaacgym_tpu.tasks.anymal", "Anymal"),
+    "AnymalTerrain": ("thormang_isaacgym_tpu.tasks.anymal_terrain", "AnymalTerrain"),
 }
 
 
@@ -38,4 +39,8 @@ def make(task_name: str, num_envs: int | None = None, seed: int = 42, **override
     if num_envs is not None:
         kwargs["num_envs"] = num_envs
     task = cls(seed=seed, **kwargs)
-    return VecEnv(task)
+    # tasks may provide a heightfield ground (AnymalTerrain)
+    ground_fn = None
+    if hasattr(task, "ground_height_fn"):
+        ground_fn = task.ground_height_fn()
+    return VecEnv(task, ground_height_fn=ground_fn)
