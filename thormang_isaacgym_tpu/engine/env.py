@@ -150,8 +150,10 @@ class VecEnv:
     def __init__(self, task: Task, ground_height_fn=None):
         self.task = task
         self.model = task.model
-        self.physics_step = build_step_fn(task.model, task.sim_params,
-                                          ground_height_fn=ground_height_fn)
+        self.physics_step = build_step_fn(
+            task.model, task.sim_params,
+            ground_height_fn=ground_height_fn,
+            attractors=getattr(task, "attractors", None))
         self.num_envs = task.num_envs
         self.num_obs = task.num_obs
         self.num_actions = task.num_actions

@@ -125,8 +125,16 @@ class RobotModel:
     joint_pos: tuple             # (nb-1, 3) joint frame origin in parent frame
     joint_quat: tuple            # (nb-1, 4) joint frame rotation in parent frame (w,x,y,z)
     dof_index: tuple             # (nb-1,) index into the 1-DOF arrays, or -1 if... all movable
-    floating: bool               # True: root is a free joint
+    floating: bool               # True: root 0 is a free joint
     geoms: tuple                 # tuple[Geom]
+    # ---- multi-actor scene support (models/scene.compose) ----
+    # bodies 0..n_roots-1 are tree roots (depth 0, parent -1); a scene of
+    # composed actors has one root per actor. Single-actor models keep the
+    # defaults below.
+    n_roots: int = 1
+    root_floating: tuple = None   # per-root floating flags; None -> (floating,)
+    root_base_pose: tuple = None  # per-root static pose (pos3+quat4) for FIXED roots
+    body_actor: tuple = None      # (nb,) actor index per body; None -> all 0
     # named frames on merged fixed links: name -> (body, pos, quat)
     sites: Any = dataclasses.field(default_factory=dict, hash=False, compare=False)
     # default numeric params (numpy, converted to ModelParams by default_params)
@@ -139,15 +147,27 @@ class RobotModel:
 
     @property
     def nj(self) -> int:
-        return self.nb - 1
+        return self.nb - self.n_roots
+
+    @property
+    def roots_floating(self) -> tuple:
+        return self.root_floating if self.root_floating is not None else (self.floating,)
+
+    @property
+    def n_floating(self) -> int:
+        return sum(1 for f in self.roots_floating if f)
+
+    @property
+    def actors(self) -> tuple:
+        return self.body_actor if self.body_actor is not None else (0,) * self.nb
 
     @property
     def root_nq(self) -> int:
-        return 7 if self.floating else 0
+        return 7 * self.n_floating
 
     @property
     def root_nv(self) -> int:
-        return 6 if self.floating else 0
+        return 6 * self.n_floating
 
     @property
     def nq(self) -> int:

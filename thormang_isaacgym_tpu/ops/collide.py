@@ -1,0 +1,199 @@
+"""Actor-vs-actor primitive collision (penalty, lockstep, static pair list).
+
+TPU-native replacement for PhysX inter-actor contact generation (spec: the
+reference's multi-actor scenes — ball on tray `tasks/ball_balance.py`, object
+in hand `tasks/shadow_hand.py`, table between robots `tasks/MA_OP3.py`).
+Pairs are enumerated at trace time between geoms of DIFFERENT actors
+(self-collision within an actor is off, matching IsaacGym's default
+collision filtering); every pair is evaluated unconditionally and masked by
+penetration — no broadphase, no divergence, which is the right trade at
+IsaacGym-style geom counts (a handful per actor).
+
+Supported pairs (round 1): sphere-sphere, sphere-capsule, sphere-box.
+The same stability-clamped spring-damper + regularized Coulomb model as the
+ground kernel, with the pair's REDUCED mass bounding the coefficients.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from thormang_isaacgym_tpu.core import quat as Q
+from thormang_isaacgym_tpu.models.robot import (
+    GEOM_BOX, GEOM_CAPSULE, GEOM_CYLINDER, GEOM_SPHERE, ModelParams, RobotModel,
+)
+from thormang_isaacgym_tpu.ops.kinematics import BodyFrames
+
+_SUPPORTED = {
+    (GEOM_SPHERE, GEOM_SPHERE), (GEOM_SPHERE, GEOM_CAPSULE),
+    (GEOM_SPHERE, GEOM_BOX), (GEOM_SPHERE, GEOM_CYLINDER),
+}
+
+
+def _pairs(model: RobotModel):
+    actors = model.actors
+    out = []
+    for i, g1 in enumerate(model.geoms):
+        for jj, g2 in enumerate(model.geoms):
+            if jj <= i:
+                continue
+            if actors[g1.body] == actors[g2.body]:
+                continue
+            t1, t2 = g1.gtype, g2.gtype
+            if (t1, t2) in _SUPPORTED:
+                out.append((i, jj, False))
+            elif (t2, t1) in _SUPPORTED:
+                out.append((jj, i, True))
+    return out
+
+
+def has_pairs(model: RobotModel) -> bool:
+    return len(_pairs(model)) > 0
+
+
+def pairwise_contact_forces(model: RobotModel, params: ModelParams,
+                            frames: BodyFrames, *, stiffness: float,
+                            damping: float, friction_vel: float,
+                            dt: float):
+    """Returns world-frame f_ext (nb, 6) additions from actor-actor contact.
+
+    Single env; caller vmaps. Zero array if the model has no eligible pairs.
+    """
+    pairs = _pairs(model)
+    nb = model.nb
+    if not pairs:
+        return jnp.zeros((nb, 6))
+
+    gpos = np.array([g.pos for g in model.geoms], np.float32).reshape(-1, 3)
+    gquat = np.array([g.quat for g in model.geoms], np.float32).reshape(-1, 4)
+    gbody = np.array([g.body for g in model.geoms])
+
+    forces = []   # (body_a, body_b, contact_point, force_on_a)
+    for (ia, ib, _sw) in pairs:
+        ga, gb = model.geoms[ia], model.geoms[ib]
+        ba, bb = gbody[ia], gbody[ib]
+        qa = Q.mul(frames.quat[ba], jnp.asarray(gquat[ia]))
+        qb = Q.mul(frames.quat[bb], jnp.asarray(gquat[ib]))
+        pa = frames.pos[ba] + Q.rotate(frames.quat[ba], jnp.asarray(gpos[ia]))
+        pb = frames.pos[bb] + Q.rotate(frames.quat[bb], jnp.asarray(gpos[ib]))
+
+        ta, tb = ga.gtype, gb.gtype
+        if (ta, tb) == (GEOM_SPHERE, GEOM_SPHERE):
+            ra, rb = ga.size[0], gb.size[0]
+            d = pb - pa
+            dist = jnp.linalg.norm(d) + 1e-9
+            n = d / dist                       # from a to b
+            depth = ra + rb - dist
+            cp = pa + n * (ra - depth * 0.5)
+        elif (ta, tb) == (GEOM_SPHERE, GEOM_CAPSULE):
+            ra = ga.size[0]
+            rb, hl = gb.size
+            axis = Q.rotate(qb, jnp.array([0.0, 0, 1.0]))
+            t = jnp.clip(jnp.dot(pa - pb, axis), -hl, hl)
+            closest = pb + axis * t
+            d = closest - pa
+            dist = jnp.linalg.norm(d) + 1e-9
+            n = d / dist
+            depth = ra + rb - dist
+            cp = pa + n * (ra - depth * 0.5)
+        elif (ta, tb) == (GEOM_SPHERE, GEOM_CYLINDER):
+            # flat disk (tray): closest point in cylinder frame
+            ra = ga.size[0]
+            R_cyl, hw = gb.size
+            local = Q.rotate_inv(qb, pa - pb)
+            r_xy = jnp.linalg.norm(local[:2]) + 1e-9
+            clamped_xy = local[:2] * jnp.minimum(R_cyl / r_xy, 1.0)
+            clamped_z = jnp.clip(local[2], -hw, hw)
+            closest = jnp.concatenate([clamped_xy, clamped_z[None]])
+            d_out = local - closest
+            dist_out = jnp.linalg.norm(d_out) + 1e-9
+            inside = (r_xy < R_cyl) & (jnp.abs(local[2]) < hw)
+            # inside: push toward nearest of the two faces / wall
+            face_gap = hw - jnp.abs(local[2])
+            wall_gap = R_cyl - r_xy
+            n_face = jnp.concatenate([jnp.zeros(2), jnp.sign(local[2])[None]])
+            n_wall = jnp.concatenate([local[:2] / r_xy, jnp.zeros(1)])
+            n_in = jnp.where(face_gap < wall_gap, n_face, n_wall)
+            out_local = jnp.where(inside, n_in, d_out / dist_out)
+            depth = jnp.where(inside, ra + jnp.minimum(face_gap, wall_gap),
+                              ra - dist_out)
+            n = -Q.rotate(qb, out_local)
+            cp = pa + n * ra
+        else:  # (GEOM_SPHERE, GEOM_BOX)
+            ra = ga.size[0]
+            half = jnp.asarray(gb.size)
+            # sphere center in box frame
+            local = Q.rotate_inv(qb, pa - pb)
+            clamped = jnp.clip(local, -half, half)
+            inside = jnp.all(jnp.abs(local) < half)
+            # outside: closest point on surface; inside: push toward the
+            # nearest face
+            d_out = local - clamped           # surface point -> center (outward)
+            dist_out = jnp.linalg.norm(d_out) + 1e-9
+            face_gap = half - jnp.abs(local)
+            k = jnp.argmin(face_gap)
+            # outward push direction on the sphere, in box frame
+            out_local = jnp.where(inside, jnp.sign(local) * jax_one_hot(k, 3),
+                                  d_out / dist_out)
+            depth = jnp.where(inside, ra + face_gap[k], ra - dist_out)
+            n = -Q.rotate(qb, out_local)      # from sphere(a) toward box(b)
+            cp = pa + n * ra                   # sphere surface point
+        forces.append((ba, bb, cp, n, depth))
+
+    # accumulate via one-hot matmuls (static matrices, no scatter)
+    rows_a = np.zeros((nb, len(forces)), np.float32)
+    rows_b = np.zeros((nb, len(forces)), np.float32)
+    fcols, tacols, tbcols = [], [], []
+    for k_i, (ba, bb, cp, n, depth) in enumerate(forces):
+        def eff_mass(b, cp):
+            m_lin = params.body_mass[b]
+            I_min = jnp.min(jnp.diag(params.body_inertia[b]))
+            r2 = jnp.sum((cp - frames.pos[b]) ** 2)
+            return jnp.minimum(m_lin, I_min / (r2 + 1e-6) + m_lin * (r2 < 1e-6))
+
+        m_a = eff_mass(ba, cp)
+        m_b = eff_mass(bb, cp)
+        m_red = m_a * m_b / (m_a + m_b)
+        kn = jnp.minimum(stiffness, 0.25 * m_red / dt**2)
+        kd = jnp.minimum(damping, 0.5 * m_red / dt)
+        va = frames.vel[ba] + jnp.cross(frames.omega[ba], cp - frames.pos[ba])
+        vb = frames.vel[bb] + jnp.cross(frames.omega[bb], cp - frames.pos[bb])
+        vrel = vb - va
+        vn = jnp.dot(vrel, n)
+        fn = jnp.maximum(kn * depth - kd * vn, 0.0) * (depth > 0)
+        vt = vrel - vn * n
+        vt_norm = jnp.linalg.norm(vt) + 1e-9
+        mu = jnp.sqrt(params.geom_friction[forces_geom_a(pairs, k_i)]
+                      * params.geom_friction[forces_geom_b(pairs, k_i)])
+        # stick-limit cap (see ops/contact.py): friction may stop relative
+        # sliding within one substep but never reverse it
+        ft_mag = jnp.minimum(mu * fn * jnp.tanh(vt_norm / friction_vel),
+                             m_red * vt_norm / dt)
+        ft = ft_mag * (vt / vt_norm)
+        f_on_b = fn * n + ft                 # force pushing b away from a
+        rows_a[ba, k_i] = 1.0
+        rows_b[bb, k_i] = 1.0
+        fcols.append(-f_on_b)                # reaction on a
+        tacols.append(jnp.cross(cp - frames.pos[ba], -f_on_b))
+        tbcols.append(jnp.cross(cp - frames.pos[bb], f_on_b))
+
+    F_a = jnp.stack(fcols)        # (P, 3) on a
+    T_a = jnp.stack(tacols)
+    T_b = jnp.stack(tbcols)
+    A = jnp.asarray(rows_a)
+    Bm = jnp.asarray(rows_b)
+    f_ext = jnp.concatenate([A @ T_a + Bm @ T_b,
+                             A @ F_a + Bm @ (-F_a)], axis=-1)
+    return f_ext
+
+
+def forces_geom_a(pairs, k):
+    return pairs[k][0]
+
+
+def forces_geom_b(pairs, k):
+    return pairs[k][1]
+
+
+def jax_one_hot(k, n):
+    return (jnp.arange(n) == k).astype(jnp.float32)

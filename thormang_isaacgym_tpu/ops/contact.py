@@ -149,13 +149,25 @@ def ground_contact_forces(
         # no bounce — unlike capping the force itself. Replaces the role of
         # PhysX's solver iterations + max_depenetration_velocity
         # (cfg/task/Gogoro.yaml:15-31).
-        m_eff = params.body_mass[gbody]
+        # effective mass at the contact point: the lesser of the body's
+        # linear mass and its rotational response I_min / r^2 (a point force
+        # at lever arm r excites the rotational mode at stiffness k r^2 / I)
+        m_lin = params.body_mass[gbody]
+        I_min = jnp.min(jnp.diagonal(params.body_inertia[gbody],
+                                     axis1=-2, axis2=-1), axis=-1)
+        r2 = jnp.sum((contact_p - body_pos) ** 2, axis=-1)
+        m_eff = jnp.minimum(m_lin, I_min / (r2 + 1e-6) + m_lin * (r2 < 1e-6))
         kn = jnp.minimum(kn, 0.25 * m_eff / dt**2)
         kd = jnp.minimum(kd, 0.5 * m_eff / dt)
     fn = kn * depth - kd * vn
     fn = jnp.where(active, jnp.maximum(fn, 0.0), 0.0)
-    # regularized Coulomb friction
+    # regularized Coulomb friction, capped at the stick limit: the force
+    # that stops the tangential slip in one substep (m v_t / dt). Beyond
+    # that, friction would REVERSE the velocity — the classic explicit
+    # -integration friction instability under impact normal-force spikes.
     ft_mag = mu * fn * jnp.tanh(vt_norm / friction_vel)
+    if dt is not None:
+        ft_mag = jnp.minimum(ft_mag, params.body_mass[gbody] * vt_norm / dt)
     ft = -ft_mag[:, None] * vt / jnp.maximum(vt_norm, 1e-6)[:, None]
 
     f = ft.at[:, 2].add(fn)                       # (M,3) world force

@@ -63,7 +63,10 @@ def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None):
     S_all = jnp.asarray(S_np)            # (nj, 6)
 
     _, root_quat, joint_q = split_q(model, q)
-    root_omega_b, root_v_b, joint_qd = split_qd(model, qd)
+    root_omega_b, root_v_w, joint_qd = split_qd(model, qd)
+    # root linear velocity is world-frame (see kinematics state layout);
+    # the ABA works in link frames, so rotate it in here
+    root_v_b = Q.rotate_inv(root_quat, root_v_w)
 
     if precomputed is not None:
         pos_local, quat_local, quat_w = precomputed
@@ -73,11 +76,12 @@ def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None):
     R_loc = Q.to_matrix(quat_local)      # (nj, 3, 3)
 
     # ---- pass 1: velocities + bias terms (outward, banded) ----
-    v_c = [jnp.concatenate([root_omega_b, root_v_b])[None]]
-    c_c = [jnp.zeros((1, 6))]
-    qw_c = [root_quat[None]] if quat_w is None else None
+    nr = model.n_roots
+    v_c = [jnp.concatenate([root_omega_b, root_v_b], axis=-1)]   # (nr, 6)
+    c_c = [jnp.zeros((nr, 6))]
+    qw_c = [root_quat] if quat_w is None else None
     for lv in struct:
-        j = slice(lv["start"] - 1, lv["end"] - 1)
+        j = slice(lv["start"] - nr, lv["end"] - nr)
         p = lv["parent_local"]
         vj = S_all[j] * joint_qd[j][:, None]
         vi = sp.motion_to_child(R_loc[j], pos_local[j], v_c[-1][p]) + vj
@@ -101,9 +105,9 @@ def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None):
         [jnp.cross(com, mass[:, None] * g_local), mass[:, None] * g_local], axis=-1)
     pA_full = sp.cross_force(v, Iv) - f_ext - f_grav     # (nb, 6)
 
-    # chunk IA/pA per level (index 0 = root chunk)
-    IA_c = [IA_full[0:1]] + [IA_full[lv["start"]:lv["end"]] for lv in struct]
-    pA_c = [pA_full[0:1]] + [pA_full[lv["start"]:lv["end"]] for lv in struct]
+    # chunk IA/pA per level (index 0 = root chunk, one row per actor root)
+    IA_c = [IA_full[0:nr]] + [IA_full[lv["start"]:lv["end"]] for lv in struct]
+    pA_c = [pA_full[0:nr]] + [pA_full[lv["start"]:lv["end"]] for lv in struct]
 
     # ---- pass 2: articulated inertia (inward, banded) ----
     U_c = [None] * len(struct)
@@ -111,7 +115,7 @@ def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None):
     u_c = [None] * len(struct)
     for k in range(len(struct) - 1, -1, -1):
         lv = struct[k]
-        j = slice(lv["start"] - 1, lv["end"] - 1)
+        j = slice(lv["start"] - nr, lv["end"] - nr)
         Sj = S_all[j]                                     # (n_k, 6)
         IA_L = IA_c[k + 1]
         Ui = (IA_L @ Sj[..., None])[..., 0]               # (n_k, 6)
@@ -129,14 +133,18 @@ def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None):
         pA_c[k] = pA_c[k] + scat @ pa_t
 
     # ---- pass 3: accelerations (outward, banded) ----
-    if model.floating:
-        a_root = -jnp.linalg.solve(IA_c[0][0] + 1e-9 * jnp.eye(6), pA_c[0][0])
+    float_mask = jnp.asarray(
+        np.array(model.roots_floating, np.float32))          # (nr,)
+    if model.n_floating > 0:
+        eye = jnp.broadcast_to(jnp.eye(6), (nr, 6, 6))
+        a_solve = -jnp.linalg.solve(IA_c[0] + 1e-9 * eye, pA_c[0][..., None])[..., 0]
+        a_root = a_solve * float_mask[:, None]               # fixed roots: a=0
     else:
-        a_root = jnp.zeros(6)
-    a_c = [a_root[None]]
+        a_root = jnp.zeros((nr, 6))
+    a_c = [a_root]
     qdd_c = []
     for k, lv in enumerate(struct):
-        j = slice(lv["start"] - 1, lv["end"] - 1)
+        j = slice(lv["start"] - nr, lv["end"] - nr)
         p = lv["parent_local"]
         a_p = sp.motion_to_child(R_loc[j], pos_local[j], a_c[-1][p]) + c_c[k + 1]
         qdd_i = (u_c[k] - jnp.sum(U_c[k] * a_p, axis=-1)) / D_c[k]
@@ -146,8 +154,18 @@ def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None):
     qdd_j = jnp.concatenate(qdd_c) if qdd_c else jnp.zeros(0)
     # locked joints: hard-zero acceleration (D inflation already makes this ~0)
     qdd_j = qdd_j * (1.0 - params.dof_locked)
-    if model.floating:
-        return jnp.concatenate([a_root, qdd_j])
+    if model.n_floating > 0:
+        # pack floating roots' accelerations (in body order) ahead of joints.
+        # The spatial linear acceleration a_lin is the derivative of the
+        # body-frame velocity; convert to the world-frame derivative the
+        # integrator expects: dv_w/dt = R (a_lin + w x v_b).
+        a_ang = a_root[:, 0:3]
+        a_lin_w = Q.rotate(root_quat,
+                           a_root[:, 3:6] + jnp.cross(root_omega_b, root_v_b))
+        a_pack = jnp.concatenate([a_ang, a_lin_w], axis=-1)
+        flags = model.roots_floating
+        rows = [a_pack[r] for r in range(nr) if flags[r]]
+        return jnp.concatenate([jnp.concatenate(rows), qdd_j])
     return qdd_j
 
 
@@ -157,8 +175,9 @@ def joint_reflected_inertia(model: RobotModel, params: ModelParams) -> jnp.ndarr
     joint axis). Used to stability-cap penalty torques."""
     _, _, _, S_np = static_arrays(model)
     S = jnp.asarray(S_np)                                   # (nj, 6)
-    Ic = sp.inertia_matrix(params.body_mass[1:], params.body_com[1:],
-                           params.body_inertia[1:])          # (nj, 6, 6)
+    nr = model.n_roots
+    Ic = sp.inertia_matrix(params.body_mass[nr:], params.body_com[nr:],
+                           params.body_inertia[nr:])         # (nj, 6, 6)
     return jnp.sum(S * (Ic @ S[..., None])[..., 0], axis=-1) + params.dof_armature
 
 

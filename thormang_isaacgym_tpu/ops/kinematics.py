@@ -14,8 +14,13 @@ Written for a single env; the caller vmaps over the env axis.
 
 State layout (floating base):
   q  = [pos_w (3), quat_wxyz (4), joint_q (nj)]         (nq = 7 + nj)
-  qd = [omega_body (3), v_body (3), joint_qd (nj)]      (nv = 6 + nj)
-where (omega_body, v_body) is the root spatial velocity in the root frame.
+  qd = [omega_body (3), v_world (3), joint_qd (nj)]     (nv = 6 + nj)
+MuJoCo free-joint convention: root angular velocity in the BODY frame
+(isotropic-stable Euler equations), root linear velocity in the WORLD frame
+(free fall integrates exactly; a body-frame linear velocity would couple to
+spin as v' = -w x v, which explicit integration amplifies). This also
+matches IsaacGym's world-frame root linear velocity
+(root_states[:, 7:10]).
 Fixed base: q = joint_q, qd = joint_qd.
 """
 from __future__ import annotations
@@ -39,17 +44,54 @@ class BodyFrames(NamedTuple):
 
 
 def split_q(model: RobotModel, q: jnp.ndarray):
-    if model.floating:
-        return q[0:3], q[3:7], q[7:]
-    zeros3 = jnp.zeros(3, q.dtype)
-    return zeros3, jnp.array([1.0, 0, 0, 0], q.dtype), q
+    """Returns (root_pos (nr,3), root_quat (nr,4), joint_q (nj,)).
+
+    Floating roots read consecutive 7-blocks from the head of q (in body
+    order); fixed roots use the model's static base pose.
+    """
+    nr = model.n_roots
+    flags = model.roots_floating
+    nf = model.n_floating
+    root_block = q[: 7 * nf].reshape(nf, 7) if nf else jnp.zeros((0, 7))
+    joint_q = q[7 * nf:]
+    if nr == 1 and flags[0]:
+        return root_block[:, 0:3], root_block[:, 3:7], joint_q
+    base = np.array(model.root_base_pose if model.root_base_pose is not None
+                    else [(0, 0, 0, 1, 0, 0, 0)] * nr, np.float32)
+    pos_rows, quat_rows = [], []
+    fi = 0
+    for r in range(nr):
+        if flags[r]:
+            pos_rows.append(root_block[fi, 0:3])
+            quat_rows.append(root_block[fi, 3:7])
+            fi += 1
+        else:
+            pos_rows.append(jnp.asarray(base[r, 0:3]))
+            quat_rows.append(jnp.asarray(base[r, 3:7]))
+    return jnp.stack(pos_rows), jnp.stack(quat_rows), joint_q
 
 
 def split_qd(model: RobotModel, qd: jnp.ndarray):
-    if model.floating:
-        return qd[0:3], qd[3:6], qd[6:]
-    zeros3 = jnp.zeros(3, qd.dtype)
-    return zeros3, zeros3, qd
+    """Returns (root_omega_body (nr,3), root_v_world (nr,3), joint_qd) —
+    fixed roots are 0."""
+    nr = model.n_roots
+    flags = model.roots_floating
+    nf = model.n_floating
+    root_block = qd[: 6 * nf].reshape(nf, 6) if nf else jnp.zeros((0, 6))
+    joint_qd = qd[6 * nf:]
+    if nr == 1 and flags[0]:
+        return root_block[:, 0:3], root_block[:, 3:6], joint_qd
+    om_rows, v_rows = [], []
+    fi = 0
+    for r in range(nr):
+        if flags[r]:
+            om_rows.append(root_block[fi, 0:3])
+            v_rows.append(root_block[fi, 3:6])
+            fi += 1
+        else:
+            om_rows.append(jnp.zeros(3))
+            v_rows.append(jnp.zeros(3))
+    return jnp.stack(om_rows), jnp.stack(v_rows), joint_qd
 
 
 def joint_local_pose(model: RobotModel, joint_q: jnp.ndarray):
@@ -77,7 +119,7 @@ def forward_kinematics(model: RobotModel, q: jnp.ndarray, qd: jnp.ndarray,
     :func:`joint_local_pose` so the sim step shares it with the dynamics.
     """
     root_pos, root_quat, joint_q = split_q(model, q)
-    root_omega_b, root_v_b, joint_qd = split_qd(model, qd)
+    root_omega_b, root_v_w, joint_qd = split_qd(model, qd)
 
     pos_local, quat_local = local if local is not None else joint_local_pose(model, joint_q)
     struct = level_structure(model)
@@ -87,12 +129,13 @@ def forward_kinematics(model: RobotModel, q: jnp.ndarray, qd: jnp.ndarray,
 
     # banded sweep: per-level chunks, static slices, constant-index parent
     # gathers; one concatenate at the end. No scatters (TPU-hostile).
-    pos_c = [root_pos[None]]
-    quat_c = [root_quat[None]]
-    om_c = [Q.rotate(root_quat, root_omega_b)[None]]
-    vel_c = [Q.rotate(root_quat, root_v_b)[None]]
+    nr = model.n_roots
+    pos_c = [root_pos]
+    quat_c = [root_quat]
+    om_c = [Q.rotate(root_quat, root_omega_b)]
+    vel_c = [root_v_w]  # root linear velocity is already world-frame
     for lv in struct:
-        j = slice(lv["start"] - 1, lv["end"] - 1)
+        j = slice(lv["start"] - nr, lv["end"] - nr)
         p = lv["parent_local"]
         pp, pq = pos_c[-1][p], quat_c[-1][p]
         pom, pvl = om_c[-1][p], vel_c[-1][p]

@@ -23,8 +23,9 @@ def body_levels(model: RobotModel):
     nb = model.nb
     parent = model.parent
     depth = np.zeros(nb, np.int32)
-    for i in range(1, nb):
-        depth[i] = depth[parent[i]] + 1
+    for i in range(nb):
+        if parent[i] >= 0:
+            depth[i] = depth[parent[i]] + 1
     levels = []
     for d in range(1, depth.max() + 1 if nb > 1 else 1):
         idx = np.nonzero(depth == d)[0].astype(np.int32)
@@ -53,7 +54,7 @@ def level_structure(model: RobotModel):
     levels, depth = body_levels(model)
     parent = np.array(model.parent, np.int32)
     out = []
-    prev_start, prev_end = 0, 1  # the root "level"
+    prev_start, prev_end = 0, model.n_roots  # the root "level" (all actors)
     for L in levels:
         start, end = int(L.min()), int(L.max()) + 1
         assert np.array_equal(L, np.arange(start, end)), \

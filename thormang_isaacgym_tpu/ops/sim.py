@@ -14,9 +14,11 @@ from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from thormang_isaacgym_tpu.core import quat as Q
 from thormang_isaacgym_tpu.models.robot import ModelParams, RobotModel
+from thormang_isaacgym_tpu.ops import collide as collide_mod
 from thormang_isaacgym_tpu.ops import contact as contact_mod
 from thormang_isaacgym_tpu.ops import dynamics as dyn
 from thormang_isaacgym_tpu.ops.kinematics import (
@@ -65,7 +67,8 @@ def zero_controls(model: RobotModel, batch: int | None = None) -> Controls:
 
 def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
              q: jnp.ndarray, qd: jnp.ndarray, ctrl: Controls,
-             body_wrench_w: jnp.ndarray, ground_height_fn=None):
+             body_wrench_w: jnp.ndarray, ground_height_fn=None,
+             attractors=None):
     """One physics substep for one env."""
     h = sp_.dt / sp_.substeps
     # per-env gravity (ModelParams leaf) so DR can scale it; SimParams.gravity
@@ -85,6 +88,39 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
         dt=h, beta=sp_.contact_beta,
     )
     f_ext_w = f_ext_w + body_wrench_w  # external pushes (apply_rigid_body_force_tensors)
+
+    # actor-vs-actor contact (multi-actor scenes only; static pair list)
+    if collide_mod.has_pairs(model):
+        f_ext_w = f_ext_w + collide_mod.pairwise_contact_forces(
+            model, params, frames,
+            stiffness=sp_.contact_stiffness, damping=sp_.contact_damping,
+            friction_vel=sp_.friction_vel, dt=h)
+
+    # world-point attractors (gymapi.create_rigid_body_attractor equivalent,
+    # e.g. the BallBalance feet pins, ball_balance.py:305-318): translation
+    # springs from a body-local point to a fixed world target, coefficients
+    # stability-clamped like the contact kernel
+    if attractors:
+        rows = np.zeros((model.nb, len(attractors)), np.float32)
+        fcols, tcols = [], []
+        for k_i, (ab, local_p, target, kp, kd) in enumerate(attractors):
+            bp, bq = frames.pos[ab], frames.quat[ab]
+            wp = bp + Q.rotate(bq, jnp.asarray(local_p))
+            vp = frames.vel[ab] + jnp.cross(frames.omega[ab], wp - bp)
+            # effective mass incl. the rotational mode at lever arm |local_p|
+            m_lin = params.body_mass[ab]
+            I_min = jnp.min(jnp.diag(params.body_inertia[ab]))
+            r2 = float(np.dot(local_p, local_p))
+            m_eff = jnp.minimum(m_lin, I_min / (r2 + 1e-6)) if r2 > 1e-6 else m_lin
+            kp_c = jnp.minimum(kp, 0.25 * m_eff / h**2)
+            kd_c = jnp.minimum(kd, 0.5 * m_eff / h)
+            F = kp_c * (jnp.asarray(target) - wp) - kd_c * vp
+            rows[ab, k_i] = 1.0
+            fcols.append(F)
+            tcols.append(jnp.cross(wp - bp, F))
+        Rm = jnp.asarray(rows)
+        f_ext_w = f_ext_w + jnp.concatenate(
+            [Rm @ jnp.stack(tcols), Rm @ jnp.stack(fcols)], axis=-1)
 
     # world wrench -> link-frame spatial force
     R_t = jnp.swapaxes(Q.to_matrix(frames.quat), -1, -2)  # (nb,3,3) world->body
@@ -108,34 +144,38 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
 
     # ---- semi-implicit Euler ----
     qd_new = qd + h * qdd
-    if model.floating:
-        # root damping (asset linear/angular damping)
-        damp = jnp.concatenate([
+    nf = model.n_floating
+    if nf > 0:
+        # root damping (asset linear/angular damping), per floating root
+        damp_root = jnp.concatenate([
             jnp.full(3, 1.0 - sp_.root_angular_damping * h),
             jnp.full(3, 1.0 - sp_.root_linear_damping * h),
-            jnp.ones(model.nj),
         ])
+        damp = jnp.concatenate([jnp.tile(damp_root, nf), jnp.ones(model.nj)])
         qd_new = qd_new * damp
     qd_new = jnp.clip(qd_new, -sp_.max_velocity, sp_.max_velocity)
 
     # joint velocity limits + locked joints
-    _, _, jqd = split_qd(model, qd_new)
+    jqd = qd_new[6 * nf:]
     jqd = jnp.clip(jqd, -params.dof_velocity_limit, params.dof_velocity_limit)
     jqd = jqd * (1.0 - params.dof_locked)
 
-    if model.floating:
-        omega_b, v_b = qd_new[0:3], qd_new[3:6]
-        root_pos, root_quat, jq = q[0:3], q[3:7], q[7:]
+    jq = q[7 * nf:]
+    jq_new = jq + h * jqd
+    jq_new = jnp.where(params.dof_locked > 0, params.dof_locked_pos, jq_new)
+
+    if nf > 0:
+        root_q = q[: 7 * nf].reshape(nf, 7)
+        root_qd = qd_new[: 6 * nf].reshape(nf, 6)
+        omega_b, v_w = root_qd[:, 0:3], root_qd[:, 3:6]  # linear part: world
+        root_pos, root_quat = root_q[:, 0:3], root_q[:, 3:7]
         omega_w = Q.rotate(root_quat, omega_b)
         new_quat = Q.integrate(root_quat, omega_w, h)
-        new_pos = root_pos + h * Q.rotate(root_quat, v_b)
-        jq_new = jq + h * jqd
-        jq_new = jnp.where(params.dof_locked > 0, params.dof_locked_pos, jq_new)
-        q_new = jnp.concatenate([new_pos, new_quat, jq_new])
-        qd_new = jnp.concatenate([omega_b, v_b, jqd])
+        new_pos = root_pos + h * v_w
+        q_new = jnp.concatenate(
+            [jnp.concatenate([new_pos, new_quat], axis=-1).reshape(-1), jq_new])
+        qd_new = jnp.concatenate([root_qd.reshape(-1), jqd])
     else:
-        jq_new = q + h * jqd
-        jq_new = jnp.where(params.dof_locked > 0, params.dof_locked_pos, jq_new)
         q_new = jq_new
         qd_new = jqd
 
@@ -143,7 +183,7 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
 
 
 def build_step_fn(model: RobotModel, sim_params: SimParams,
-                  ground_height_fn=None) -> Callable:
+                  ground_height_fn=None, attractors=None) -> Callable:
     """Returns step(params, q, qd, ctrl, body_wrench_w) -> (q', qd', net),
     batched. net (B, nb, 3) is the per-body net ground-contact force from the
     last substep — the `acquire_net_contact_force_tensor` equivalent
@@ -159,7 +199,7 @@ def build_step_fn(model: RobotModel, sim_params: SimParams,
         def body(carry, _):
             q, qd = carry
             q, qd, net = _substep(model, sim_params, params, q, qd, ctrl,
-                                  body_wrench_w, ground_height_fn)
+                                  body_wrench_w, ground_height_fn, attractors)
             return (q, qd), net
 
         (q, qd), nets = jax.lax.scan(body, (q, qd), None, length=sim_params.substeps)

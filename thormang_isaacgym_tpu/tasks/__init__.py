@@ -17,6 +17,7 @@ TASK_MAP = {
     "Humanoid": ("thormang_isaacgym_tpu.tasks.humanoid", "Humanoid"),
     "Anymal": ("thormang_isaacgym_tpu.tasks.anymal", "Anymal"),
     "AnymalTerrain": ("thormang_isaacgym_tpu.tasks.anymal_terrain", "AnymalTerrain"),
+    "BallBalance": ("thormang_isaacgym_tpu.tasks.ball_balance", "BallBalance"),
 }
 
 

@@ -193,7 +193,7 @@ class Ant(Task):
         t = prev_task
         pos = state.q[:, 0:3]
         quat = state.q[:, 3:7]
-        vel_w = Q.rotate(quat, state.qd[:, 3:6])
+        vel_w = state.qd[:, 3:6]            # root linear velocity: world frame
         angvel_w = Q.rotate(quat, state.qd[:, 0:3])
         jq = state.q[:, 7:]
         jqd = state.qd[:, 6:]

@@ -201,7 +201,7 @@ class AnymalTerrain(Anymal):
         t = prev_task
         B = state.q.shape[0]
         quat = state.q[:, 3:7]
-        base_lin_vel = state.qd[:, 3:6]
+        base_lin_vel = Q.rotate_inv(quat, state.qd[:, 3:6])  # world -> base frame
         base_ang_vel = state.qd[:, 0:3]
         jq = state.q[:, 7:]
         jqd = state.qd[:, 6:]

@@ -295,8 +295,8 @@ class Gogoro(Task):
         B = state.q.shape[0]
         root_quat = state.q[:, 3:7]
         roll, _, yaw = Q.to_euler_xyz(root_quat)
-        omega_b = state.qd[:, 0:3]   # already body frame
-        v_b = state.qd[:, 3:6]
+        omega_b = state.qd[:, 0:3]   # body frame
+        v_b = Q.rotate_inv(root_quat, state.qd[:, 3:6])  # world -> body (quat_rotate_inverse parity)
         d_roll = omega_b[:, 0]
         d_yaw = omega_b[:, 2]
         speed = v_b[:, 0]
