@@ -137,7 +137,7 @@ class BallBalance(Task):
         mode = np.zeros(scene.nj, np.int32)
         kp = np.zeros(scene.nj, np.float32)
         kd = np.zeros(scene.nj, np.float32)
-        eff = np.full(scene.nj, 1e6, np.float32)
+        eff = np.full(scene.nj, 30.0, np.float32)  # bounded knee actuators (soft attractor pins let 100+ Nm legs catapult the tray)
         for k in self.knees:
             mode[k] = DRIVE_POS
             kp[k] = 4000.0
