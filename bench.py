@@ -42,19 +42,21 @@ def main():
             return (state, key), None
 
         (state, key), _ = jax.lax.scan(body, (state, key), None, length=steps)
-        return state, key
+        # scalar summary: pulling it to the host is a true completion
+        # barrier (block_until_ready is unreliable on the tunneled backend)
+        return state, key, jnp.sum(state.q[:, 2]) + jnp.sum(state.reward)
 
     t0 = time.perf_counter()
-    state, key = run(state, key)
-    jax.block_until_ready(state.q)
+    state, key, s = run(state, key)
+    float(s)
     compile_s = time.perf_counter() - t0
     print(f"compile+first run: {compile_s:.1f}s", file=sys.stderr)
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        state, key = run(state, key)
-        jax.block_until_ready(state.q)
+        state, key, s = run(state, key)
+        float(s)
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
 

@@ -145,14 +145,16 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
     rows_b = np.zeros((nb, len(forces)), np.float32)
     fcols, tacols, tbcols = [], [], []
     for k_i, (ba, bb, cp, n, depth) in enumerate(forces):
-        def eff_mass(b, cp):
+        def eff_mass(b, cp, n_hat):
             m_lin = params.body_mass[b]
             I_min = jnp.min(jnp.diag(params.body_inertia[b]))
-            r2 = jnp.sum((cp - frames.pos[b]) ** 2)
-            return jnp.minimum(m_lin, I_min / (r2 + 1e-6) + m_lin * (r2 < 1e-6))
+            r = cp - frames.pos[b]
+            r_perp2 = jnp.sum(jnp.cross(r, n_hat) ** 2)
+            m_rot = I_min / (r_perp2 + 1e-6)
+            return jnp.minimum(m_lin, jnp.where(r_perp2 < 1e-6, m_lin, m_rot))
 
-        m_a = eff_mass(ba, cp)
-        m_b = eff_mass(bb, cp)
+        m_a = eff_mass(ba, cp, n)
+        m_b = eff_mass(bb, cp, n)
         m_red = m_a * m_b / (m_a + m_b)
         kn = jnp.minimum(stiffness, 0.25 * m_red / dt**2)
         kd = jnp.minimum(damping, 0.5 * m_red / dt)

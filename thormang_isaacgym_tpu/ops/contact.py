@@ -150,13 +150,17 @@ def ground_contact_forces(
         # PhysX's solver iterations + max_depenetration_velocity
         # (cfg/task/Gogoro.yaml:15-31).
         # effective mass at the contact point: the lesser of the body's
-        # linear mass and its rotational response I_min / r^2 (a point force
-        # at lever arm r excites the rotational mode at stiffness k r^2 / I)
+        # linear mass and its rotational response I_min / r_perp^2, where
+        # r_perp is the lever arm PERPENDICULAR to the (vertical) contact
+        # normal — a force parallel to the offset produces no torque, so a
+        # straight stance leg keeps its full linear mass
         m_lin = params.body_mass[gbody]
         I_min = jnp.min(jnp.diagonal(params.body_inertia[gbody],
                                      axis1=-2, axis2=-1), axis=-1)
-        r2 = jnp.sum((contact_p - body_pos) ** 2, axis=-1)
-        m_eff = jnp.minimum(m_lin, I_min / (r2 + 1e-6) + m_lin * (r2 < 1e-6))
+        r = contact_p - body_pos
+        r_perp2 = r[:, 0] ** 2 + r[:, 1] ** 2      # |r x zhat|^2
+        m_rot = I_min / (r_perp2 + 1e-6)
+        m_eff = jnp.minimum(m_lin, jnp.where(r_perp2 < 1e-6, m_lin, m_rot))
         kn = jnp.minimum(kn, 0.25 * m_eff / dt**2)
         kd = jnp.minimum(kd, 0.5 * m_eff / dt)
     fn = kn * depth - kd * vn
