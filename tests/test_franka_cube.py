@@ -1,0 +1,111 @@
+"""FrankaCubeStack: OSC task-space control (mass-matrix/jacobian path) and
+box-grasp physics, validated separately:
+- reach: closed-loop OSC brings the grasp frame onto cubeA
+- grasp+lift: with the cube placed between the fingers, closing and raising
+  the gripper must carry the cube (penalty contact + Coulomb friction)
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thormang_isaacgym_tpu.core import quat as Q
+from thormang_isaacgym_tpu.engine.env import VecEnv
+from thormang_isaacgym_tpu.tasks.franka_cube_stack import (
+    CUBE_A, TABLE_Z, FrankaCubeStack,
+)
+
+DOWN, YDIR = np.array([0.0, 0, -1.0]), np.array([0.0, 1.0, 0])
+
+
+def _step_osc(env, state, target, grip, kp=4.0):
+    gp, gq, _ = jax.vmap(env.task._eef)(state.q, state.qd)
+    gp = np.asarray(gp)
+    cz = np.asarray(jax.vmap(lambda q: Q.rotate(q, jnp.array([0.0, 0, 1.0])))(gq))
+    cy = np.asarray(jax.vmap(lambda q: Q.rotate(q, jnp.array([0.0, 1.0, 0])))(gq))
+    B = gp.shape[0]
+    a = np.zeros((B, 7), np.float32)
+    a[:, :3] = np.clip(kp * (target - gp), -1, 1)
+    a[:, 3:6] = np.clip(2.0 * (np.cross(cz, DOWN) + np.cross(cy, YDIR)), -1, 1)
+    a[:, -1] = grip
+    return env.step(state, jnp.asarray(a)), gp
+
+
+def test_osc_reach():
+    """Closed-loop OSC: rise, hover above cubeA, guarded descent to it."""
+    task = FrankaCubeStack(num_envs=2, control_type="osc")
+    env = VecEnv(task, ground_height_fn=task.ground_height_fn())
+    state = env.reset(jax.random.key(4))
+    gp0, _, _ = jax.vmap(task._eef)(state.q, state.qd)
+    up = np.asarray(gp0) + np.array([0, 0, 0.25], np.float32)
+    for _ in range(60):
+        state, _ = _step_osc(env, state, up, +1.0)
+    for _ in range(150):
+        target = np.asarray(state.q[:, :3]) + np.array([0, 0, 0.20], np.float32)
+        state, _ = _step_osc(env, state, target, +1.0)
+    zoff = 0.20
+    for _ in range(300):
+        posA = np.asarray(state.q[:, :3])
+        gp, _, _ = jax.vmap(task._eef)(state.q, state.qd)
+        xy_err = np.linalg.norm(posA[:, :2] - np.asarray(gp)[:, :2], axis=1)
+        if np.all(xy_err < 0.02):
+            zoff = max(0.005, zoff - 0.004)
+        state, _ = _step_osc(env, state,
+                             posA + np.array([0, 0, zoff], np.float32), +1.0)
+        if zoff <= 0.005 and np.all(np.asarray(state.metrics["grasp_dist"]) < 0.03):
+            break
+    gd = np.asarray(state.metrics["grasp_dist"])
+    assert gd.max() < 0.05, f"OSC reach failed: {gd}"
+
+
+def test_grasp_lift_physics():
+    """Cube placed between the fingers; close + raise must carry it."""
+    task = FrankaCubeStack(num_envs=2, control_type="osc")
+    env = VecEnv(task, ground_height_fn=task.ground_height_fn())
+    state = env.reset(jax.random.key(4))
+    # teleport cubeA into the gripper (between the fingertip spheres)
+    gp, _, _ = jax.vmap(task._eef)(state.q, state.qd)
+    # cube sits LOW in the grip: its top must stay below the mid-finger
+    # spheres (23 mm above the tips), or they press it out downward
+    cube_pos = np.asarray(gp) + np.array([0, 0, -0.013], np.float32)
+    q = np.asarray(state.q).copy()
+    q[:, 0:3] = cube_pos
+    q[:, 3:7] = np.array([1.0, 0, 0, 0])
+    # fingers pre-positioned at the 4 N squeeze equilibrium (q=0.0345 for
+    # the 5 cm cube with r=12 mm tips): deeper pre-squeeze rebounds the
+    # fingers open and drops the cube; lighter contact cannot catch it
+    fr = np.array(task.fr_ids)
+    nf7 = 7 * task.model.n_floating
+    q[:, nf7 + fr[7]] = 0.0345
+    q[:, nf7 + fr[8]] = 0.0345
+    state = dataclasses.replace(state, q=jnp.asarray(q),
+                                qd=jnp.zeros_like(state.qd))
+    hold = cube_pos + np.array([0, 0, 0.013])
+    # close the grip
+    for _ in range(80):
+        state, _ = _step_osc(env, state, hold, -1.0)
+    fq = np.asarray(state.q)[:, nf7:][:, fr[7:]]
+    assert np.all(fq > 0.004), f"fingers closed through the cube: {fq}"
+    # lift gently; the cube must ride with the gripper (constant rel-z)
+    z0 = np.asarray(state.q[:, 2]).copy()
+    target = hold + np.array([0, 0, 0.15], np.float32)
+    for _ in range(120):
+        state, _ = _step_osc(env, state, target, -1.0, kp=0.8)
+    hA = np.asarray(state.metrics["cubeA_height"])
+    assert np.all(hA - CUBE_A > 0.04), f"cubeA not lifted: {hA}"
+    assert np.all(np.asarray(state.q[:, 2]) > z0 + 0.04), "cube did not ride with the gripper"
+    assert float(np.asarray(state.reward).min()) >= task.r_lift_scale * 0.9
+
+
+def test_joint_torque_variant_runs():
+    task = FrankaCubeStack(num_envs=2, control_type="joint_tor")
+    env = VecEnv(task, ground_height_fn=task.ground_height_fn())
+    state = env.reset(jax.random.key(0))
+    assert state.obs.shape == (2, 26)
+    key = jax.random.key(1)
+    for i in range(20):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (2, 8), minval=-1, maxval=1)
+        state = env.step(state, a)
+    assert not bool(jnp.isnan(state.obs).any())

@@ -132,3 +132,28 @@ def test_anymal_terrain_rollout():
     # height scan channel occupied (terrain non-flat somewhere)
     heights = obs[:, 24:164]
     assert np.isfinite(heights).all()
+
+
+def test_ingenuity_rollout_and_hover():
+    env = tgx.make("Ingenuity", num_envs=4, seed=0)
+    assert env.num_obs == 13 and env.num_actions == 6
+    state = env.reset(jax.random.key(0))
+    final, (rew, done) = rollout(env, state, 30)
+    assert np.isfinite(np.asarray(final.q)).all()
+    # constant near-hover thrust keeps the copter airborne and upright
+    state = env.reset(jax.random.key(2))
+    a = jnp.tile(jnp.asarray([0, 0, 0.1395, 0, 0, 0.1395], jnp.float32), (4, 1))
+    for _ in range(100):
+        state = env.step(state, a)
+    z = np.asarray(state.q[:, 2])
+    assert (z > 0.5).all(), z
+    assert (np.abs(np.asarray(state.q[:, 3])) > 0.95).all()  # upright quat
+
+
+def test_quadcopter_rollout():
+    env = tgx.make("Quadcopter", num_envs=4, seed=0)
+    assert env.num_obs == 24 and env.num_actions == 12
+    state = env.reset(jax.random.key(0))
+    final, (rew, done) = rollout(env, state, 30)
+    assert np.isfinite(np.asarray(final.q)).all()
+    assert np.isfinite(np.asarray(rew)).all()

@@ -58,6 +58,9 @@ class ModelParams:
     body_mass: jnp.ndarray          # (..., nb)
     body_com: jnp.ndarray           # (..., nb, 3) com offset in link frame
     body_inertia: jnp.ndarray       # (..., nb, 3, 3) about com, link frame
+    # per-body gravity multiplier (asset_options.disable_gravity equivalent,
+    # franka_cube_stack.py:201 — 0.0 disables gravity on the whole actor)
+    body_gravity_scale: jnp.ndarray  # (..., nb)
     # per-dof (nv_1dof = nv minus root dofs)
     dof_armature: jnp.ndarray       # (..., nj)
     dof_damping: jnp.ndarray        # (..., nj) passive joint damping
@@ -232,11 +235,13 @@ def make_defaults(
     armature: float = 0.0,
     geom_friction=None,
     gravity=(0.0, 0.0, -9.81),
+    gravity_scale: float = 1.0,
 ) -> dict:
     """Build the defaults dict for RobotModel._defaults."""
     z = lambda *s: np.zeros(s, dtype=np.float32)
     return dict(
         gravity=np.asarray(gravity, np.float32),
+        body_gravity_scale=np.full(nb, gravity_scale, np.float32),
         body_mass=np.asarray(body_mass, np.float32),
         body_com=np.asarray(body_com, np.float32),
         body_inertia=np.asarray(body_inertia, np.float32),

@@ -69,7 +69,8 @@ def compose(actors, name="scene") -> RobotModel:
     geoms = []
     sites = {}
     # per-joint defaults reordered; per-body defaults reordered
-    dkeys_body = ("body_mass", "body_com", "body_inertia")
+    dkeys_body = ("body_mass", "body_com", "body_inertia",
+                  "body_gravity_scale")
     dkeys_joint = ("dof_armature", "dof_damping", "dof_friction", "dof_lower",
                    "dof_upper", "dof_velocity_limit", "drive_mode",
                    "drive_stiffness", "drive_damping", "drive_effort_limit",

@@ -152,6 +152,7 @@ def load_urdf(
     approx_meshes: bool = False,
     default_density: float = 1000.0,
     name: str | None = None,
+    disable_gravity: bool = False,
 ) -> RobotModel:
     """Parse a URDF file (or XML string) into a RobotModel.
 
@@ -327,6 +328,7 @@ def load_urdf(
         dof_damping=np.array([j["damping"] for j in out_joints], dtype=np.float32) if nj else np.zeros(0),
         dof_friction=np.array([j["friction"] for j in out_joints], dtype=np.float32) if nj else np.zeros(0),
         armature=armature,
+        gravity_scale=0.0 if disable_gravity else 1.0,
     )
     # effort limits from URDF
     defaults["drive_effort_limit"] = np.array(

@@ -30,6 +30,15 @@ _SUPPORTED = {
 }
 
 
+def _free_body_flags(model: RobotModel) -> np.ndarray:
+    """(nb,) 1.0 where the body's actor root is floating (free to fall)."""
+    flags = model.roots_floating
+    actors = model.actors
+    # actor index -> is its root floating
+    return np.array([1.0 if flags[actors[b]] else 0.0
+                     for b in range(model.nb)], np.float32)
+
+
 def _pairs(model: RobotModel):
     actors = model.actors
     out = []
@@ -54,7 +63,8 @@ def has_pairs(model: RobotModel) -> bool:
 def pairwise_contact_forces(model: RobotModel, params: ModelParams,
                             frames: BodyFrames, *, stiffness: float,
                             damping: float, friction_vel: float,
-                            dt: float):
+                            dt: float,
+                            max_depenetration_velocity: float = 2.0):
     """Returns world-frame f_ext (nb, 6) additions from actor-actor contact.
 
     Single env; caller vmaps. Zero array if the model has no eligible pairs.
@@ -143,6 +153,15 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
     # accumulate via one-hot matmuls (static matrices, no scatter)
     rows_a = np.zeros((nb, len(forces)), np.float32)
     rows_b = np.zeros((nb, len(forces)), np.float32)
+    # active-contact count per body (this kernel's pairs): the stability
+    # budget is shared by all springs acting on a body (see ops/contact.py)
+    rows_all = np.zeros((nb, len(forces)), np.float32)
+    for k_i, (ba, bb, cp, n, depth) in enumerate(forces):
+        rows_all[ba, k_i] = 1.0
+        rows_all[bb, k_i] = 1.0
+    act_flags = jnp.stack([(d > 0).astype(jnp.float32)
+                           for (_, _, _, _, d) in forces])
+    n_active_body = jnp.asarray(rows_all) @ act_flags       # (nb,)
     fcols, tacols, tbcols = [], [], []
     for k_i, (ba, bb, cp, n, depth) in enumerate(forces):
         def eff_mass(b, cp, n_hat):
@@ -153,8 +172,8 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
             m_rot = I_min / (r_perp2 + 1e-6)
             return jnp.minimum(m_lin, jnp.where(r_perp2 < 1e-6, m_lin, m_rot))
 
-        m_a = eff_mass(ba, cp, n)
-        m_b = eff_mass(bb, cp, n)
+        m_a = eff_mass(ba, cp, n) / jnp.maximum(n_active_body[ba], 1.0)
+        m_b = eff_mass(bb, cp, n) / jnp.maximum(n_active_body[bb], 1.0)
         m_red = m_a * m_b / (m_a + m_b)
         kn = jnp.minimum(stiffness, 0.25 * m_red / dt**2)
         kd = jnp.minimum(damping, 0.5 * m_red / dt)
@@ -163,15 +182,50 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
         vrel = vb - va
         vn = jnp.dot(vrel, n)
         fn = jnp.maximum(kn * depth - kd * vn, 0.0) * (depth > 0)
+        # max_depenetration_velocity cap (see ops/contact.py), gated on
+        # SEPARATION (vn > 0): don't launch deeply-embedded bodies at the
+        # spring's full restitution speed, but leave static (resting /
+        # approaching) contacts free to bear load — an ungated cap limits
+        # the static squeeze force to m*v_dep/h and grips fail
+        cap = jnp.where(vn > 0.0,
+                        m_red * jnp.maximum(max_depenetration_velocity - vn, 0.0) / dt,
+                        jnp.inf)
+        fn = jnp.clip(fn, 0.0, cap)
         vt = vrel - vn * n
-        vt_norm = jnp.linalg.norm(vt) + 1e-9
         mu = jnp.sqrt(params.geom_friction[forces_geom_a(pairs, k_i)]
                       * params.geom_friction[forces_geom_b(pairs, k_i)])
-        # stick-limit cap (see ops/contact.py): friction may stop relative
-        # sliding within one substep but never reverse it
-        ft_mag = jnp.minimum(mu * fn * jnp.tanh(vt_norm / friction_vel),
-                             m_red * vt_norm / dt)
-        ft = ft_mag * (vt / vt_norm)
+        # STICTION via predicted slip: friction opposes the relative
+        # tangential velocity the pair would have at the END of the substep
+        # (current slip + this substep's gravity kick on the free side),
+        # with the impulse capped at what stops that slip. A gripped body at
+        # rest gets exactly the gravity-cancelling force while inside the
+        # friction cone — true static hold, which pure velocity
+        # -proportional (regularized Coulomb) friction cannot provide: it
+        # lets grasped objects creep out of any grip at
+        # v = load/(mu*fn) * friction_vel.
+        g_vec = params.gravity
+        g_t = g_vec - jnp.dot(g_vec, n) * n
+        # gravity kicks vrel = vb - va only through the FREE (floating
+        # -root) side; a fixed-base driven arm holds its position
+        free = _free_body_flags(model)
+        kick = float(free[bb] - free[ba])
+        vt_pred = vt + dt * g_t * kick
+        vtp_norm = jnp.linalg.norm(vt_pred) + 1e-9
+        m_stick = (params.body_mass[ba] * params.body_mass[bb]
+                   / (params.body_mass[ba] + params.body_mass[bb]))
+        # impulse budget: reduced mass for stopping SLIP, plus the free
+        # body's full weight share for carrying the static load (the
+        # reduced mass alone under-caps gravity compensation and grasped
+        # objects sag out of the grip)
+        if kick != 0.0:
+            loaded = bb if kick > 0 else ba
+            w_grav = params.body_mass[loaded] * jnp.linalg.norm(g_t) \
+                / jnp.maximum(n_active_body[loaded], 1.0)
+        else:
+            w_grav = 0.0
+        ft_mag = jnp.minimum(mu * fn, m_stick * jnp.linalg.norm(vt) / dt + w_grav)
+        # friction on b OPPOSES b's predicted relative slip
+        ft = -ft_mag * (vt_pred / vtp_norm) * (depth > 0)
         f_on_b = fn * n + ft                 # force pushing b away from a
         rows_a[ba, k_i] = 1.0
         rows_b[bb, k_i] = 1.0

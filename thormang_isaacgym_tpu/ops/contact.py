@@ -76,6 +76,7 @@ def ground_contact_forces(
     ground_height_fn=None,
     dt: float | None = None,
     beta: float = 0.5,
+    max_depenetration_velocity: float = 2.0,
 ):
     """Per-body external spatial force from ground contact.
 
@@ -161,10 +162,32 @@ def ground_contact_forces(
         r_perp2 = r[:, 0] ** 2 + r[:, 1] ** 2      # |r x zhat|^2
         m_rot = I_min / (r_perp2 + 1e-6)
         m_eff = jnp.minimum(m_lin, jnp.where(r_perp2 < 1e-6, m_lin, m_rot))
+        # the stability bound applies to the SUM of contact stiffness on a
+        # body: a box resting on 8 corners sees 8 springs in parallel, and
+        # per-contact clamping alone would overshoot the bound 8x (light
+        # boxes jitter themselves off the table). Split the mass budget
+        # across this body's currently-active contacts.
+        onehot_c = np.zeros((model.nb, len(gbody)), np.float32)
+        onehot_c[gbody, np.arange(len(gbody))] = 1.0
+        Bc = jnp.asarray(onehot_c)
+        n_active = (Bc @ active.astype(jnp.float32))[gbody]
+        m_eff = m_eff / jnp.maximum(n_active, 1.0)
         kn = jnp.minimum(kn, 0.25 * m_eff / dt**2)
         kd = jnp.minimum(kd, 0.5 * m_eff / dt)
     fn = kn * depth - kd * vn
     fn = jnp.where(active, jnp.maximum(fn, 0.0), 0.0)
+    if dt is not None:
+        # PhysX max_depenetration_velocity equivalent: a deeply-embedded
+        # contact (created by an overpowering constraint, e.g. a stiff
+        # position-driven gripper) may store large spring energy; cap the
+        # normal force so the body exits at <= max_dep_vel instead of being
+        # launched ("popped") at the spring's full restitution speed.
+        # Gated on SEPARATION — static contacts keep full load capacity.
+        cap = jnp.where(vn > 0.0,
+                        m_eff * jnp.maximum(max_depenetration_velocity - vn, 0.0) / dt,
+                        jnp.inf)
+        fn = jnp.minimum(fn, cap)
+        fn = jnp.maximum(fn, 0.0)
     # regularized Coulomb friction, capped at the stick limit: the force
     # that stops the tangential slip in one substep (m v_t / dt). Beyond
     # that, friction would REVERSE the velocity — the classic explicit

@@ -46,15 +46,26 @@ def aba(
     f_ext: jnp.ndarray,      # (nb, 6) spatial force on each body, *link frame*, about link origin
     gravity: jnp.ndarray,    # (3,) world gravity vector
     precomputed=None,        # optional (pos_local, quat_local, quat_w)
+    extra_diag: jnp.ndarray | None = None,   # (nj,) implicit joint impedance
 ) -> jnp.ndarray:
-    """Returns qdd: (nv,) = [root_acc (6, body frame), joint_qdd (nj)]."""
+    """Returns qdd: (nv,) = [root_acc (6, body frame), joint_qdd (nj)].
+
+    `extra_diag` adds to the joint-space diagonal D in pass 2 — the
+    backward-Euler lumped impedance h*kd + h^2*kp of joint drives, passive
+    damping, and limit springs (see drive_forces/passive_forces). This is
+    how PhysX-style arbitrarily stiff joint drives stay stable under
+    explicit integration: the damping/stiffness reaction to the *new*
+    velocity moves to the left-hand side of the joint solve.
+    """
     # The small 3x3/6x6 contractions here are numerically load-bearing
     # (articulated inertia propagation); keep them in full f32 even on MXU.
     with jax.default_matmul_precision("highest"):
-        return _aba(model, params, q, qd, tau, f_ext, gravity, precomputed)
+        return _aba(model, params, q, qd, tau, f_ext, gravity, precomputed,
+                    extra_diag)
 
 
-def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None):
+def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None,
+         extra_diag=None):
     """Banded level sweeps: per-level chunks with static slices, constant
     -index parent gathers, and one-hot-matmul scatter-adds — no XLA scatter
     ops (they serialize badly on TPU)."""
@@ -101,6 +112,8 @@ def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None):
     Iv = sp.inertia_mul(mass, com, I_com, v)             # (nb, 6)
     nb = model.nb
     g_local = Q.rotate_inv(quat_w, jnp.broadcast_to(gravity, (nb, 3)))
+    # per-body gravity scale (asset disable_gravity, franka_cube_stack.py:201)
+    g_local = g_local * params.body_gravity_scale[:, None]
     f_grav = jnp.concatenate(
         [jnp.cross(com, mass[:, None] * g_local), mass[:, None] * g_local], axis=-1)
     pA_full = sp.cross_force(v, Iv) - f_ext - f_grav     # (nb, 6)
@@ -121,6 +134,8 @@ def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None):
         Ui = (IA_L @ Sj[..., None])[..., 0]               # (n_k, 6)
         Di = jnp.sum(Sj * Ui, axis=-1) + params.dof_armature[j] \
             + params.dof_locked[j] * _LOCK_BIG
+        if extra_diag is not None:
+            Di = Di + extra_diag[j]
         ui = tau[j] - jnp.sum(Sj * pA_c[k + 1], axis=-1)
         U_c[k], D_c[k], u_c[k] = Ui, Di, ui
         Ia = IA_L - Ui[:, :, None] * (Ui[:, None, :] / Di[:, None, None])
@@ -181,70 +196,117 @@ def joint_reflected_inertia(model: RobotModel, params: ModelParams) -> jnp.ndarr
     return jnp.sum(S * (Ic @ S[..., None])[..., 0], axis=-1) + params.dof_armature
 
 
-def passive_torques(params: ModelParams, joint_q: jnp.ndarray, joint_qd: jnp.ndarray,
-                    limit_stiffness: float = 2000.0, limit_damping: float = 50.0,
-                    friction_vel_scale: float = 0.05,
-                    dt: float | None = None,
-                    joint_inertia: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Passive joint torques: viscous damping, regularized dry friction, and
-    joint-limit penalty springs.
+def articulated_joint_inertia(model: RobotModel, params: ModelParams,
+                              joint_q: jnp.ndarray,
+                              precomputed=None) -> jnp.ndarray:
+    """Exact per-joint apparent inertia at the current configuration:
+    D_i = S_i^T IA_i S_i + armature from the articulated-body inertia
+    recursion (the ABA's pass 2 without the bias terms).
 
-    Mirrors PhysX joint behavior as configured by the reference
-    (dof_props damping/friction/limits, `gogoro_new.py:231,251-275`).
-
-    When (dt, joint_inertia) are given, limit torques are capped at the
-    impulse the joint's reflected inertia can absorb in one substep
-    (stop the limit-ward velocity + resolve half the violation) — the same
-    unconditional-stability device as the contact force cap.
+    This is the true instantaneous tau -> qdd relation per joint, and the
+    correct mass against which drive/limit gains are stability-clamped: a
+    shoulder PD drives the whole (articulated) arm, not just the child
+    link — the child-only lower bound under-clamps kd ~20x on a Panda
+    shoulder and makes stiff drives artificially sloppy. Locked downstream
+    joints (dof_locked) transmit their full subtree inertia, so frozen
+    humanoid joints count as payload, as they should.
     """
-    tau = -params.dof_damping * joint_qd
+    struct = level_structure(model)
+    _, _, _, S_np = static_arrays(model)
+    S_all = jnp.asarray(S_np)
+    nr = model.n_roots
+    if precomputed is not None:
+        pos_local, quat_local = precomputed
+    else:
+        pos_local, quat_local = joint_local_pose(model, joint_q)
+    R_loc = Q.to_matrix(quat_local)
+
+    IA_full = sp.inertia_matrix(params.body_mass, params.body_com,
+                                params.body_inertia)
+    IA_c = [IA_full[0:nr]] + [IA_full[lv["start"]:lv["end"]] for lv in struct]
+    D_c = [None] * len(struct)
+    for k in range(len(struct) - 1, -1, -1):
+        lv = struct[k]
+        j = slice(lv["start"] - nr, lv["end"] - nr)
+        Sj = S_all[j]
+        IA_L = IA_c[k + 1]
+        Ui = (IA_L @ Sj[..., None])[..., 0]
+        Di = jnp.sum(Sj * Ui, axis=-1) + params.dof_armature[j]
+        D_c[k] = Di
+        D_proj = Di + params.dof_locked[j] * _LOCK_BIG
+        Ia = IA_L - Ui[:, :, None] * (Ui[:, None, :] / D_proj[:, None, None])
+        I_t = sp.transform_inertia_to_parent(R_loc[j], pos_local[j], Ia)
+        scat = jnp.asarray(lv["scatter"])
+        IA_c[k] = IA_c[k] + jnp.einsum("pk,kij->pij", scat, I_t)
+    return jnp.concatenate(D_c) if D_c else jnp.zeros(0)
+
+
+def passive_forces(params: ModelParams, joint_q: jnp.ndarray,
+                   joint_qd: jnp.ndarray, h: float,
+                   limit_stiffness: float = 2000.0,
+                   limit_damping: float = 50.0,
+                   friction_vel_scale: float = 0.05):
+    """Passive joint forces in implicit (backward-Euler) form.
+
+    Returns (tau_explicit, diag): the realized torque at the new velocity is
+    tau_explicit - diag/h * (h qdd) — i.e. `diag` joins the joint-space
+    diagonal D inside the ABA (see `aba(extra_diag=...)`), which makes
+    viscous damping and limit springs unconditionally stable at ANY
+    coefficient, exactly like PhysX's implicit joint solve (the behavior the
+    reference's dof_props assume, `gogoro_new.py:231,251-275`).
+
+    - damping: tau -c qd, diag h c
+    - dry friction: bounded tanh regularization, explicit
+    - limits: spring-damper active in violation, spring evaluated at the
+      predicted position q + h qd (full backward Euler: diag h^2 k + h d)
+    """
+    c = params.dof_damping
+    tau = -c * joint_qd
+    diag = h * c
     tau -= params.dof_friction * jnp.tanh(joint_qd / friction_vel_scale)
+
     below = jnp.minimum(joint_q - params.dof_lower, 0.0)
     above = jnp.maximum(joint_q - params.dof_upper, 0.0)
-    # only apply limit force where limits are finite
     below = jnp.where(jnp.isfinite(params.dof_lower), below, 0.0)
     above = jnp.where(jnp.isfinite(params.dof_upper), above, 0.0)
     violation = below + above          # signed: negative below, positive above
-    in_violation = (below < 0) | (above > 0)
+    in_violation = ((below < 0) | (above > 0)).astype(joint_q.dtype)
     k_lim = jnp.asarray(limit_stiffness)
     d_lim = jnp.asarray(limit_damping)
-    if dt is not None and joint_inertia is not None:
-        # same per-joint coefficient stability clamp as the contact kernel:
-        # omega*h <= 0.5 w.r.t. the joint's reflected inertia
-        k_lim = jnp.minimum(k_lim, 0.25 * joint_inertia / dt**2)
-        d_lim = jnp.minimum(d_lim, 0.5 * joint_inertia / dt)
-    tau_lim = -k_lim * violation \
-        + jnp.where(in_violation, -d_lim * joint_qd, 0.0)
-    return tau + tau_lim
+    tau = tau + in_violation * (-k_lim * (violation + h * joint_qd)
+                                - d_lim * joint_qd)
+    diag = diag + in_violation * (h * h * k_lim + h * d_lim)
+    return tau, diag
 
 
-def drive_torques(params: ModelParams, joint_q: jnp.ndarray, joint_qd: jnp.ndarray,
-                  target_pos: jnp.ndarray, target_vel: jnp.ndarray,
-                  effort: jnp.ndarray,
-                  dt: float | None = None,
-                  joint_inertia: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Actuator model: DOF_MODE_POS / DOF_MODE_VEL / DOF_MODE_EFFORT.
+def drive_forces(params: ModelParams, joint_q: jnp.ndarray,
+                 joint_qd: jnp.ndarray, target_pos: jnp.ndarray,
+                 target_vel: jnp.ndarray, effort: jnp.ndarray, h: float):
+    """Actuator model in implicit form: DOF_MODE_POS / VEL / EFFORT.
 
     Semantics match gymapi drive modes as used at
     `/root/reference/isaacgymenvs/tasks/gogoro_new.py:266-275`:
       POS:    tau = Kp (target_pos - q) - Kd qd         (PD servo)
       VEL:    tau = Kd (target_vel - qd)                (velocity servo)
       EFFORT: tau = effort
-    all clamped to +/- drive_effort_limit.
+    clamped to +/- drive_effort_limit.
 
     PhysX integrates joint drives implicitly, so the reference can use
-    arbitrarily stiff gains (rear-wheel Kd=1000 on a 0.38 kg m^2 wheel).
-    Explicit integration needs the same gains clamped to the stability
-    bound w.r.t. the joint's reflected inertia — the behavioral equivalent
-    (critically-damped approach to the target, no chatter).
+    arbitrarily stiff gains (rear-wheel Kd=1000 on a 0.38 kg m^2 wheel,
+    finger drives Kp 1e6). Here the same property comes from backward Euler:
+    the spring is evaluated at the predicted position and the (h^2 Kp + h Kd)
+    reaction to the new velocity joins the ABA diagonal (returned as `diag`),
+    so configured gains apply un-clamped at any dt.
     """
     kp = params.drive_stiffness
     kd = params.drive_damping
-    if dt is not None and joint_inertia is not None:
-        kp = jnp.minimum(kp, 0.25 * joint_inertia / dt**2)
-        kd = jnp.minimum(kd, 0.5 * joint_inertia / dt)
     mode = params.drive_mode
-    pd = kp * (target_pos - joint_q) - kd * joint_qd
+    pos_m = (mode == 1).astype(joint_q.dtype)
+    vel_m = (mode == 2).astype(joint_q.dtype)
+    eff_m = (mode == 3).astype(joint_q.dtype)
+    pd = kp * (target_pos - joint_q - h * joint_qd) - kd * joint_qd
     vel = kd * (target_vel - joint_qd)
-    tau = jnp.where(mode == 1, pd, 0.0) + jnp.where(mode == 2, vel, 0.0) + jnp.where(mode == 3, effort, 0.0)
-    return jnp.clip(tau, -params.drive_effort_limit, params.drive_effort_limit)
+    tau = pos_m * pd + vel_m * vel + eff_m * effort
+    tau = jnp.clip(tau, -params.drive_effort_limit, params.drive_effort_limit)
+    diag = pos_m * (h * h * kp + h * kd) + vel_m * (h * kd)
+    return tau, diag

@@ -48,6 +48,9 @@ class SimParams:
     root_linear_damping: float = 0.0   # asset_options.linear_damping (gogoro_new.py:209)
     root_angular_damping: float = 0.0
     max_velocity: float = 1e3          # safety clamp on qd
+    # PhysX max_depenetration_velocity analog (vec_task.py:468): caps the
+    # exit speed of deeply-penetrated contacts
+    max_depenetration_velocity: float = 2.0
 
 
 class Controls(NamedTuple):
@@ -86,6 +89,7 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
         friction_vel=sp_.friction_vel, plane_friction=sp_.plane_friction,
         ground_height_fn=ground_height_fn,
         dt=h, beta=sp_.contact_beta,
+        max_depenetration_velocity=sp_.max_depenetration_velocity,
     )
     f_ext_w = f_ext_w + body_wrench_w  # external pushes (apply_rigid_body_force_tensors)
 
@@ -94,7 +98,8 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
         f_ext_w = f_ext_w + collide_mod.pairwise_contact_forces(
             model, params, frames,
             stiffness=sp_.contact_stiffness, damping=sp_.contact_damping,
-            friction_vel=sp_.friction_vel, dt=h)
+            friction_vel=sp_.friction_vel, dt=h,
+            max_depenetration_velocity=sp_.max_depenetration_velocity)
 
     # world-point attractors (gymapi.create_rigid_body_attractor equivalent,
     # e.g. the BallBalance feet pins, ball_balance.py:305-318): translation
@@ -129,18 +134,20 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
         (R_t @ f_ext_w[:, 3:6, None])[..., 0],
     ], axis=-1)
 
-    joint_inertia = dyn.joint_reflected_inertia(model, params)
-    tau = dyn.drive_torques(params, joint_q, joint_qd,
-                            ctrl.target_pos, ctrl.target_vel, ctrl.effort,
-                            dt=h, joint_inertia=joint_inertia)
-    tau = tau + dyn.passive_torques(
-        params, joint_q, joint_qd,
+    # implicit (backward-Euler) joint drives + passive impedances: the
+    # h*kd + h^2*kp reaction joins the ABA diagonal, so PhysX-grade gains
+    # (Kp 1e6 fingers, Kd 1000 wheels) are stable un-clamped at any dt
+    tau_d, diag_d = dyn.drive_forces(params, joint_q, joint_qd,
+                                     ctrl.target_pos, ctrl.target_vel,
+                                     ctrl.effort, h)
+    tau_p, diag_p = dyn.passive_forces(
+        params, joint_q, joint_qd, h,
         limit_stiffness=sp_.joint_limit_stiffness,
-        limit_damping=sp_.joint_limit_damping,
-        dt=h, joint_inertia=joint_inertia)
+        limit_damping=sp_.joint_limit_damping)
 
-    qdd = dyn.aba(model, params, q, qd, tau, f_ext, gravity,
-                  precomputed=(local[0], local[1], frames.quat))
+    qdd = dyn.aba(model, params, q, qd, tau_d + tau_p, f_ext, gravity,
+                  precomputed=(local[0], local[1], frames.quat),
+                  extra_diag=diag_d + diag_p)
 
     # ---- semi-implicit Euler ----
     qd_new = qd + h * qdd

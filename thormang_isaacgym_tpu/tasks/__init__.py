@@ -18,6 +18,10 @@ TASK_MAP = {
     "Anymal": ("thormang_isaacgym_tpu.tasks.anymal", "Anymal"),
     "AnymalTerrain": ("thormang_isaacgym_tpu.tasks.anymal_terrain", "AnymalTerrain"),
     "BallBalance": ("thormang_isaacgym_tpu.tasks.ball_balance", "BallBalance"),
+    "FrankaCabinet": ("thormang_isaacgym_tpu.tasks.franka_cabinet", "FrankaCabinet"),
+    "FrankaCubeStack": ("thormang_isaacgym_tpu.tasks.franka_cube_stack", "FrankaCubeStack"),
+    "Ingenuity": ("thormang_isaacgym_tpu.tasks.ingenuity", "Ingenuity"),
+    "Quadcopter": ("thormang_isaacgym_tpu.tasks.quadcopter", "Quadcopter"),
 }
 
 
