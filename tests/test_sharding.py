@@ -39,6 +39,28 @@ def test_sharded_train_iteration():
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_no_recompile_across_iterations():
+    """The shard_map+jit wrapper must be built once, not per iteration
+    (round-1 bug: fresh shard_map+jit object per call -> recompile)."""
+    ppo, (train_iter, init_fn) = make_sharded()
+    key = jax.random.key(2)
+    ts, env_state = init_fn(key)
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        ts, env_state, _ = train_iter(ts, env_state, sub)
+    # exactly one wrapped callable; at most 2 compiled entries (the first
+    # call sees init_fn's device_put shardings, later calls the jit outputs'
+    # — a one-time second entry, not per-iteration growth)
+    assert len(train_iter.jit_cache) == 1
+    (fn,) = train_iter.jit_cache.values()
+    size = fn._cache_size()
+    assert size <= 2, size
+    for i in range(3):
+        key, sub = jax.random.split(key)
+        ts, env_state, _ = train_iter(ts, env_state, sub)
+    assert fn._cache_size() == size  # stable: no recompile per iteration
+
+
 def test_sharded_learns_same_direction():
     """A few sharded iterations must improve reward like single-device."""
     ppo, (train_iter, init_fn) = make_sharded(num_envs=128)

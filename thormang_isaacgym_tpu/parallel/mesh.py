@@ -67,15 +67,26 @@ def shard_ppo(ppo: PPO, mesh: Mesh | None = None):
             return replicated
         return jax.tree.map(spec, env_state)
 
+    # the wrapped+jitted callable is built ONCE per env-state treedef and
+    # cached — building it inside train_iter would create a fresh function
+    # object (fresh jit cache entry -> recompile) every iteration
+    _cache = {}
+
     def train_iter(ts, env_state, key):
-        specs = env_specs(env_state)
-        fn = jax.shard_map(
-            body, mesh=mesh,
-            in_specs=(replicated, specs, replicated),
-            out_specs=(replicated, specs, replicated),
-            check_vma=False,
-        )
-        return jax.jit(fn, donate_argnums=(0, 1))(ts, env_state, key)
+        treedef = jax.tree.structure(env_state)
+        fn = _cache.get(treedef)
+        if fn is None:
+            specs = env_specs(env_state)
+            fn = jax.jit(jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(replicated, specs, replicated),
+                out_specs=(replicated, specs, replicated),
+                check_vma=False,
+            ), donate_argnums=(0, 1))
+            _cache[treedef] = fn
+        return fn(ts, env_state, key)
+
+    train_iter.jit_cache = _cache  # introspection for tests
 
     def init_fn(key):
         ts = ppo.init(key)
