@@ -35,6 +35,10 @@ def _step_osc(env, state, target, grip, kp=4.0):
 def test_osc_reach():
     """Closed-loop OSC: rise, hover above cubeA, guarded descent to it."""
     task = FrankaCubeStack(num_envs=2, control_type="osc")
+    # the scripted reach takes ~500 control steps; keep the episode alive
+    # (at the task's reference length of 300 the env auto-resets mid-test
+    # and the descent chases a freshly respawned cube)
+    task.max_episode_length = 10_000
     env = VecEnv(task, ground_height_fn=task.ground_height_fn())
     state = env.reset(jax.random.key(4))
     gp0, _, _ = jax.vmap(task._eef)(state.q, state.qd)
@@ -62,6 +66,7 @@ def test_osc_reach():
 def test_grasp_lift_physics():
     """Cube placed between the fingers; close + raise must carry it."""
     task = FrankaCubeStack(num_envs=2, control_type="osc")
+    task.max_episode_length = 10_000
     env = VecEnv(task, ground_height_fn=task.ground_height_fn())
     state = env.reset(jax.random.key(4))
     # teleport cubeA into the gripper (between the fingertip spheres)

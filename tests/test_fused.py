@@ -1,0 +1,170 @@
+"""Parity of the fused Pallas physics kernel vs the XLA reference path.
+
+Runs the Pallas kernel in interpret mode on CPU (the dedicated TPU run is
+the driver bench) and cross-checks one and several substeps against
+ops.sim.build_step_fn on the same inputs.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from thormang_isaacgym_tpu.ops.fused import build_fused_step_fn, fused_eligible
+from thormang_isaacgym_tpu.ops.sim import SimParams, build_step_fn, zero_controls
+
+
+def _rollout_pair(task, B=4, steps=3, seed=0, tol=2e-3):
+    model = task.model
+    sp = task.sim_params
+    assert fused_eligible(model, None, None)
+    xla_step = jax.jit(build_step_fn(model, sp, fused=False))
+    fused_step = jax.jit(build_fused_step_fn(model, sp, n_steps=sp.substeps,
+                                             interpret=True))
+
+    key = jax.random.key(seed)
+    params = model.default_params().batch(B)
+    ks = jax.random.split(key, 4)
+    q0 = jnp.tile(_init_q(task, model)[None], (B, 1))
+    q0 = q0 + 0.01 * jax.random.normal(ks[0], q0.shape) * _q_noise_mask(model)
+    qd = 0.1 * jax.random.normal(ks[1], (B, model.nv))
+    ctrl = zero_controls(model, B)
+    ctrl = ctrl._replace(
+        target_pos=0.1 * jax.random.normal(ks[2], (B, model.nj)),
+        target_vel=jnp.zeros((B, model.nj)),
+        effort=0.5 * jax.random.normal(ks[3], (B, model.nj)))
+    wrench = jnp.zeros((B, model.nb, 6))
+
+    q_a, qd_a = q0, qd
+    q_b, qd_b = q0, qd
+    for _ in range(steps):
+        q_a, qd_a, net_a = xla_step(params, q_a, qd_a, ctrl, wrench)
+        q_b, qd_b, net_b = fused_step(params, q_b, qd_b, ctrl, wrench)
+    np.testing.assert_allclose(np.asarray(q_a), np.asarray(q_b),
+                               atol=tol, rtol=tol)
+    np.testing.assert_allclose(np.asarray(qd_a), np.asarray(qd_b),
+                               atol=10 * tol, rtol=10 * tol)
+    np.testing.assert_allclose(np.asarray(net_a), np.asarray(net_b),
+                               atol=1.0, rtol=5e-3)
+
+
+def _init_q(task, model):
+    # spawn a reasonable state via the task's own reset
+    key = jax.random.key(1)
+    params = model.default_params()
+    q, qd, _, _ = task.reset_fn(key, params, jax.tree.map(
+        lambda x: x[0], task.default_task_state(jax.random.key(2))))
+    return q
+
+
+def _q_noise_mask(model):
+    """Perturb only joint coords (keep root quats valid)."""
+    m = np.zeros(model.nq, np.float32)
+    m[7 * model.n_floating:] = 1.0
+    return jnp.asarray(m)
+
+
+SLOW = __import__("os").environ.get("THORMANG_SLOW_TESTS") != "1"
+
+
+def test_fused_cartpole_matches_xla():
+    from thormang_isaacgym_tpu.tasks.cartpole import Cartpole
+    _rollout_pair(Cartpole(num_envs=4), steps=5)
+
+
+def test_fused_floating_body_matches_xla():
+    """Tiny floating model (free sphere + one revolute arm): exercises the
+    floating-root LDLT solve, gravity, plane contact and quat integration
+    with a CI-sized compile (the 2-vCPU runner can't compile the 40-body
+    kernels; those run as THORMANG_SLOW_TESTS=1 and on the TPU bench)."""
+    from thormang_isaacgym_tpu.models import load_urdf
+
+    urdf = """
+<robot name="tiny">
+  <link name="base">
+    <inertial><mass value="1.0"/>
+      <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/></inertial>
+    <collision><geometry><sphere radius="0.1"/></geometry></collision>
+  </link>
+  <link name="arm">
+    <inertial><origin xyz="0 0 -0.1"/><mass value="0.3"/>
+      <inertia ixx="0.002" iyy="0.002" izz="0.001" ixy="0" ixz="0" iyz="0"/></inertial>
+    <collision><origin xyz="0 0 -0.2"/><geometry><sphere radius="0.05"/></geometry></collision>
+  </link>
+  <joint name="hinge" type="revolute">
+    <parent link="base"/><child link="arm"/>
+    <origin xyz="0.1 0 0"/><axis xyz="0 1 0"/>
+    <limit lower="-1.5" upper="1.5" effort="10" velocity="10"/>
+  </joint>
+</robot>"""
+    model = load_urdf(urdf)
+    sp = SimParams(dt=1 / 60, substeps=2, contact_stiffness=5e3,
+                   contact_damping=100.0)
+    xla_step = jax.jit(build_step_fn(model, sp, fused=False))
+    fused_step = jax.jit(build_fused_step_fn(model, sp, interpret=True))
+    B = 4
+    params = model.default_params().batch(B)
+    key = jax.random.key(7)
+    k1, k2 = jax.random.split(key)
+    # spawn above ground, random orientation-ish (normalized quat)
+    qr = jax.random.normal(k1, (B, 4))
+    qr = qr / jnp.linalg.norm(qr, axis=-1, keepdims=True)
+    q = jnp.concatenate([
+        jnp.tile(jnp.asarray([0.0, 0.0, 0.3]), (B, 1)), qr,
+        0.5 * jax.random.normal(k2, (B, 1))], axis=-1)
+    qd = 0.2 * jax.random.normal(k2, (B, model.nv))
+    ctrl = zero_controls(model, B)
+    wrench = jnp.zeros((B, model.nb, 6))
+    qa, qda = q, qd
+    qb, qdb = q, qd
+    for _ in range(12):
+        qa, qda, neta = xla_step(params, qa, qda, ctrl, wrench)
+        qb, qdb, netb = fused_step(params, qb, qdb, ctrl, wrench)
+    np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(neta), np.asarray(netb),
+                               atol=0.5, rtol=5e-3)
+
+
+@pytest.mark.skipif(SLOW, reason="big-model emulation compile; set THORMANG_SLOW_TESTS=1")
+def test_fused_ant_matches_xla():
+    from thormang_isaacgym_tpu.tasks.ant import Ant
+    _rollout_pair(Ant(num_envs=2), steps=3)
+
+
+@pytest.mark.skipif(SLOW or not __import__("os").path.exists(
+    "/root/reference/assets/urdf/gogoro/urdf/scooter_V13.urdf"),
+    reason="big-model emulation compile; set THORMANG_SLOW_TESTS=1")
+def test_fused_gogoro_matches_xla():
+    """The 40-body flagship: locked joints, wheels (rim contact), drives."""
+    from thormang_isaacgym_tpu.tasks.gogoro import Gogoro
+    _rollout_pair(Gogoro(num_envs=2), steps=2, tol=5e-3)
+
+
+@pytest.mark.skipif(SLOW, reason="big-model emulation compile; set THORMANG_SLOW_TESTS=1")
+def test_fused_franka_fixed_base():
+    """Fixed-root arm (static root pose folds at trace time)."""
+    from thormang_isaacgym_tpu.models.franka import load_franka
+    from thormang_isaacgym_tpu.ops.sim import SimParams
+
+    class _T:
+        pass
+
+    model = load_franka()
+    sp = SimParams(dt=1 / 60, substeps=2)
+    xla_step = jax.jit(build_step_fn(model, sp, fused=False))
+    fused_step = jax.jit(build_fused_step_fn(model, sp, interpret=True))
+    B = 2
+    params = model.default_params().batch(B)
+    key = jax.random.key(3)
+    q = 0.3 * jax.random.normal(key, (B, model.nq))
+    qd = jnp.zeros((B, model.nv))
+    ctrl = zero_controls(model, B)
+    wrench = jnp.zeros((B, model.nb, 6))
+    for _ in range(3):
+        qa, qda, _ = xla_step(params, q, qd, ctrl, wrench)
+        qb, qdb, _ = fused_step(params, q, qd, ctrl, wrench)
+        np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
+                                   atol=2e-3, rtol=2e-3)
+        q, qd = qa, qda

@@ -190,7 +190,8 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
 
 
 def build_step_fn(model: RobotModel, sim_params: SimParams,
-                  ground_height_fn=None, attractors=None) -> Callable:
+                  ground_height_fn=None, attractors=None,
+                  fused: bool | None = None) -> Callable:
     """Returns step(params, q, qd, ctrl, body_wrench_w) -> (q', qd', net),
     batched. net (B, nb, 3) is the per-body net ground-contact force from the
     last substep — the `acquire_net_contact_force_tensor` equivalent
@@ -199,8 +200,32 @@ def build_step_fn(model: RobotModel, sim_params: SimParams,
 
     params leaves carry a leading env axis; q (B, nq); qd (B, nv);
     ctrl leaves (B, nj); body_wrench_w (B, nb, 6) world-frame external
-    wrenches (zeros if unused). The substep loop is a lax.scan.
+    wrenches (zeros if unused).
+
+    Two interchangeable backends (numerics cross-checked in
+    tests/test_fused.py):
+    - fused Pallas kernel (ops/fused.py): the entire substep loop in ONE
+      TPU kernel, env axis in the vector lanes. Default on TPU when the
+      model is eligible (tree articulation, plane ground, no pairs /
+      attractors) — ~100x over the op-based path, which is per-op
+      dispatch-bound.
+    - XLA op path: vmapped `_substep` under a lax.scan. Default on CPU and
+      for models needing terrain/pairs/attractors.
+    Force with `fused=True/False` or env THORMANG_TPU_FUSED=0/1.
     """
+    import os
+    from thormang_isaacgym_tpu.ops import fused as fused_mod
+
+    if fused is None:
+        envv = os.environ.get("THORMANG_TPU_FUSED")
+        if envv is not None:
+            fused = envv not in ("0", "false", "False")
+        else:
+            fused = jax.default_backend() == "tpu"
+    fused = fused and fused_mod.fused_eligible(model, ground_height_fn,
+                                               attractors)
+    if fused:
+        return fused_mod.build_fused_step_fn(model, sim_params)
 
     def single_env_step(params, q, qd, ctrl, body_wrench_w):
         def body(carry, _):
