@@ -45,6 +45,9 @@ class EnvState:
     qd: jnp.ndarray           # (B, nv)
     params: ModelParams       # batched per-env model params (DR target)
     obs: jnp.ndarray          # (B, num_obs)
+    states: jnp.ndarray       # (B, num_states) privileged critic obs
+                              # (asymmetric actor-critic states_buf,
+                              # vec_task.py:264-267; (B, 0) when unused)
     reward: jnp.ndarray       # (B,)
     done: jnp.ndarray         # (B,) 1.0 where env must reset next step
     timeout: jnp.ndarray      # (B,) 1.0 where done was due to episode length
@@ -119,6 +122,13 @@ class Task:
     def action_noise(self, key, actions):
         return actions
 
+    def compute_states(self, state: "EnvState", task_state) -> jnp.ndarray:
+        """Privileged critic observations (asymmetric actor-critic,
+        `shadow_hand.py:124-130` states_buf). Called after post_physics when
+        num_states > 0; default: empty."""
+        B = state.q.shape[0]
+        return jnp.zeros((B, 0))
+
 
 def mask_select_with(mask, new, old, B):
     """Masked pytree select along the env axis."""
@@ -182,6 +192,7 @@ class VecEnv:
         state = EnvState(
             q=q, qd=qd, params=params,
             obs=jnp.zeros((B, task.num_obs)),
+            states=jnp.zeros((B, task.num_states)),
             reward=jnp.zeros(B),
             done=jnp.zeros(B),
             timeout=jnp.zeros(B),
@@ -196,10 +207,13 @@ class VecEnv:
             task=task_state,
             metrics={},
         )
-        # populate initial obs
+        # populate initial obs (+ privileged states)
         obs, _, _, task_state, metrics = task.post_physics(state, task_state)
+        states = task.compute_states(state, task_state) if task.num_states \
+            else state.states
         return dataclasses.replace(state, obs=jnp.clip(obs, -task.clip_obs, task.clip_obs),
-                                   task=task_state, metrics=metrics)
+                                   states=states, task=task_state,
+                                   metrics=metrics)
 
     # ------------------------------------------------------------------
     def step_fn(self, state: EnvState, actions: jnp.ndarray) -> EnvState:
@@ -266,6 +280,9 @@ class VecEnv:
         # ---- 5. obs noise + clip (vec_task.py:353-357) ----
         obs = task.observation_noise(jax.random.fold_in(key, 3), obs, task_state)
         obs = jnp.clip(obs, -task.clip_obs, task.clip_obs)
+        states = task.compute_states(
+            dataclasses.replace(state, task=task_state), task_state) \
+            if task.num_states else state.states
 
         # episode-return bookkeeping (the reference's episode_sums ->
         # extras["episode"] pattern, anymal_terrain.py:152-156)
@@ -274,7 +291,7 @@ class VecEnv:
             done > 0, episode_return, state.last_episode_return)
 
         return dataclasses.replace(
-            state, obs=obs, reward=reward, done=done,
+            state, obs=obs, states=states, reward=reward, done=done,
             timeout=jnp.logical_and(timeout, done_task < 0.5).astype(jnp.float32),
             episode_return=episode_return,
             last_episode_return=last_episode_return,

@@ -51,3 +51,23 @@ class ActorCritic(nn.Module):
         else:
             log_std = nn.Dense(self.num_actions, name="sigma", dtype=self.compute_dtype)(trunk)
         return mu.astype(jnp.float32), log_std.astype(jnp.float32), value[..., 0].astype(jnp.float32)
+
+
+class ValueNet(nn.Module):
+    """Central value network for asymmetric actor-critic: the critic reads
+    privileged full-state observations (rl_games central_value_config, used
+    by ShadowHand/Trifinger asymm configs, e.g.
+    `cfg/train/ShadowHandPPOAsymm*.yaml`)."""
+    units: Sequence[int] = (512, 512, 256)
+    activation: str = "elu"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, states):
+        x = states.astype(self.compute_dtype)
+        act = getattr(nn, self.activation)
+        for i, u in enumerate(self.units):
+            x = nn.Dense(u, name=f"cv_{i}", dtype=self.compute_dtype)(x)
+            x = act(x)
+        v = nn.Dense(1, name="cv_value", dtype=self.compute_dtype)(x)
+        return v[..., 0].astype(jnp.float32)

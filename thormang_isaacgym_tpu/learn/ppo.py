@@ -30,7 +30,7 @@ import numpy as np
 import optax
 
 from thormang_isaacgym_tpu.engine.env import EnvState, VecEnv
-from thormang_isaacgym_tpu.learn.networks import ActorCritic
+from thormang_isaacgym_tpu.learn.networks import ActorCritic, ValueNet
 from thormang_isaacgym_tpu.learn.normalize import (
     RMSState, rms_denormalize, rms_normalize, rms_update,
 )
@@ -117,6 +117,7 @@ class TrainState:
     lr: jnp.ndarray
     obs_rms: RMSState
     value_rms: RMSState
+    states_rms: RMSState     # privileged-state normalizer (asymmetric critic)
     epoch: jnp.ndarray
 
 
@@ -149,6 +150,15 @@ class PPO:
         self.env = env
         self.cfg = config
         self.axis_name = axis_name
+        # asymmetric actor-critic: when the task provides privileged states
+        # (Task.num_states > 0), the critic is a separate central value net
+        # over them (shadow_hand.py:124-130 + rl_games central_value_config)
+        self.num_states = int(getattr(env.task, "num_states", 0) or 0)
+        self.asymmetric = self.num_states > 0
+        self.value_net = ValueNet(
+            units=config.units, activation=config.activation,
+            compute_dtype=jnp.bfloat16 if config.mixed_precision else jnp.float32,
+        ) if self.asymmetric else None
         self.network = ActorCritic(
             num_actions=env.num_actions,
             units=config.units,
@@ -172,20 +182,37 @@ class PPO:
     def init(self, key) -> TrainState:
         obs0 = jnp.zeros((1, self.env.num_obs))
         params = self.network.init(key, obs0)
+        if self.asymmetric:
+            k2 = jax.random.fold_in(key, 1)
+            params = {"ac": params,
+                      "cv": self.value_net.init(k2, jnp.zeros((1, self.num_states)))}
         opt_state = self.optimizer.init(params)
         return TrainState(
             params=params, opt_state=opt_state,
             lr=jnp.asarray(self.cfg.learning_rate),
             obs_rms=RMSState.create((self.env.num_obs,)),
             value_rms=RMSState.create(()),
+            states_rms=RMSState.create((max(self.num_states, 1),)),
             epoch=jnp.asarray(0, jnp.int32),
         )
 
     # ------------------------------------------------------------------
-    def _policy(self, ts: TrainState, obs):
+    def _apply(self, params, ts: TrainState, obs, states=None):
+        """(mu, log_std, value); value from the central net when asymmetric."""
+        if self.asymmetric:
+            mu, log_std, _ = self.network.apply(params["ac"], obs)
+            st = states
+            if self.cfg.normalize_input:
+                st = rms_normalize(ts.states_rms, st)
+            value = self.value_net.apply(params["cv"], st)
+        else:
+            mu, log_std, value = self.network.apply(params, obs)
+        return mu, log_std, value
+
+    def _policy(self, ts: TrainState, obs, states=None):
         if self.cfg.normalize_input:
             obs = rms_normalize(ts.obs_rms, obs)
-        mu, log_std, value = self.network.apply(ts.params, obs)
+        mu, log_std, value = self._apply(ts.params, ts, obs, states)
         if self.cfg.normalize_value:
             value = rms_denormalize(ts.value_rms, value)
         return mu, log_std, value
@@ -193,7 +220,10 @@ class PPO:
     def act_deterministic(self, ts: TrainState, obs):
         """Play-mode action (mu, clamped) — parity with export.py ModelWrapper
         (`/root/reference/isaacgymenvs/export.py:134-157`)."""
-        mu, _, _ = self._policy(ts, obs)
+        if self.cfg.normalize_input:
+            obs = rms_normalize(ts.obs_rms, obs)
+        p = ts.params["ac"] if self.asymmetric else ts.params
+        mu, _, _ = self.network.apply(p, obs)
         return jnp.clip(mu, -1.0, 1.0)
 
     # ------------------------------------------------------------------
@@ -203,7 +233,8 @@ class PPO:
             env_state, key = carry
             key, k_act = jax.random.split(key)
             obs = env_state.obs
-            mu, log_std, value = self._policy(ts, obs)
+            states = env_state.states
+            mu, log_std, value = self._policy(ts, obs, states)
             action = mu + jnp.exp(log_std) * jax.random.normal(k_act, mu.shape)
             logp = gaussian_logprob(mu, log_std, action)
             env_state = self.env.step_fn(env_state, action)
@@ -211,6 +242,8 @@ class PPO:
                        reward=env_state.reward, done=env_state.done,
                        timeout=env_state.timeout,
                        mu=mu, log_std=log_std)
+            if self.asymmetric:
+                out["states"] = states
             return (env_state, key), out
 
         (env_state, _), traj = jax.lax.scan(
@@ -246,7 +279,7 @@ class PPO:
         obs = batch["obs"]
         if cfg.normalize_input:
             obs = rms_normalize(ts.obs_rms, obs)
-        mu, log_std, value = self.network.apply(params, obs)
+        mu, log_std, value = self._apply(params, ts, obs, batch.get("states"))
 
         logp = gaussian_logprob(mu, log_std, batch["action"])
         ratio = jnp.exp(logp - batch["logp"])
@@ -295,7 +328,7 @@ class PPO:
         key, k_roll, k_perm = jax.random.split(key, 3)
         env_state, traj = self.rollout(ts, env_state, k_roll)
 
-        _, _, last_value = self._policy(ts, env_state.obs)
+        _, _, last_value = self._policy(ts, env_state.obs, env_state.states)
         advantages, returns = self.compute_gae(ts, traj, last_value)
 
         # flatten (T, B) -> (T*B,)
@@ -308,6 +341,8 @@ class PPO:
             mu=flat(traj["mu"]), log_std=flat(traj["log_std"]),
             adv=flat(advantages), ret=flat(returns),
         )
+        if self.asymmetric:
+            batch["states"] = flat(traj["states"])
         if cfg.normalize_advantage:
             adv = batch["adv"]
             batch["adv"] = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -316,6 +351,9 @@ class PPO:
         # rollout; batched update is equivalent in expectation)
         if cfg.normalize_input:
             ts = dataclasses.replace(ts, obs_rms=rms_update(ts.obs_rms, batch["obs"]))
+            if self.asymmetric:
+                ts = dataclasses.replace(
+                    ts, states_rms=rms_update(ts.states_rms, batch["states"]))
         if cfg.normalize_value:
             ts = dataclasses.replace(ts, value_rms=rms_update(ts.value_rms, batch["ret"]))
 

@@ -93,12 +93,15 @@ def make_franka_urdf() -> str:
     <dynamics damping="0.0"/>
   </joint>""")
         parts.append(_link(child, coms[child]))
-    # hand (fixed, merges into link7) + grasp site + fingers
+    # hand (fixed, merges into link7) + grasp site + fingers.
+    # Finger collision is a FLAT BOX PAD (the real Panda finger face): a
+    # patch contact (4 vertex candidates through the box-box narrowphase)
+    # resists the grasp-rotation mode that two point contacts above the
+    # object's COM cannot — a sphere-pad grip lets the object pitch about
+    # the contact line and swing out.
     finger_col = """
-    <collision name="{n}_tip"><origin xyz="0 0 0.045"/>
-      <geometry><sphere radius="0.012"/></geometry></collision>
-    <collision name="{n}_mid"><origin xyz="0 0 0.022"/>
-      <geometry><sphere radius="0.012"/></geometry></collision>"""
+    <collision name="{n}_pad"><origin xyz="0 {iy} 0.032"/>
+      <geometry><box size="0.018 0.012 0.036"/></geometry></collision>"""
     parts.append(f"""
   <joint name="panda_hand_joint" type="fixed">
     <parent link="panda_link7"/><child link="panda_hand"/>
@@ -117,13 +120,13 @@ def make_franka_urdf() -> str:
     <origin xyz="0 0 0.0584"/><axis xyz="0 1 0"/>
     <limit lower="0.0" upper="0.04" effort="10" velocity="0.2"/>
   </joint>{_link("panda_leftfinger", (0, 0.01, 0.03),
-                 finger_col.format(n="panda_leftfinger"))}
+                 finger_col.format(n="panda_leftfinger", iy=-0.006))}
   <joint name="panda_finger_joint2" type="prismatic">
     <parent link="panda_hand"/><child link="panda_rightfinger"/>
     <origin xyz="0 0 0.0584"/><axis xyz="0 -1 0"/>
     <limit lower="0.0" upper="0.04" effort="10" velocity="0.2"/>
   </joint>{_link("panda_rightfinger", (0, -0.01, 0.03),
-                 finger_col.format(n="panda_rightfinger"))}""")
+                 finger_col.format(n="panda_rightfinger", iy=0.006))}""")
     return "<robot name=\"franka_panda\">" + "".join(parts) + "\n</robot>"
 
 

@@ -80,6 +80,9 @@ class ModelParams:
     # per-geom contact params
     geom_friction: jnp.ndarray      # (..., ng)
     geom_restitution: jnp.ndarray   # (..., ng)
+    # fixed-tendon limit springs (RobotModel.tendons; (..., nt) — nt may be 0)
+    tendon_stiffness: jnp.ndarray   # (..., nt)
+    tendon_damping: jnp.ndarray     # (..., nt)
     # per-env gravity vector (DR target: sim_params gravity scaling,
     # vec_task.py:648-660)
     gravity: jnp.ndarray            # (..., 3)
@@ -140,6 +143,12 @@ class RobotModel:
     body_actor: tuple = None      # (nb,) actor index per body; None -> all 0
     # named frames on merged fixed links: name -> (body, pos, quat)
     sites: Any = dataclasses.field(default_factory=dict, hash=False, compare=False)
+    # fixed tendons (MJCF <tendon><fixed> equivalent, the reference's
+    # get/set_asset_tendon_properties surface, shadow_hand.py:252-268):
+    # tuple of (coef (nj,), lo, hi, name) — the tendon length L = coef . q
+    # is spring-constrained to [lo, hi] with per-tendon stiffness/damping
+    # living in ModelParams (DR target: "tendon_properties" blocks).
+    tendons: tuple = ()
     # default numeric params (numpy, converted to ModelParams by default_params)
     _defaults: Any = dataclasses.field(default=None, hash=False, compare=False)
 
@@ -236,10 +245,13 @@ def make_defaults(
     geom_friction=None,
     gravity=(0.0, 0.0, -9.81),
     gravity_scale: float = 1.0,
+    num_tendons: int = 0,
 ) -> dict:
     """Build the defaults dict for RobotModel._defaults."""
     z = lambda *s: np.zeros(s, dtype=np.float32)
     return dict(
+        tendon_stiffness=z(num_tendons),
+        tendon_damping=z(num_tendons),
         gravity=np.asarray(gravity, np.float32),
         body_gravity_scale=np.full(nb, gravity_scale, np.float32),
         body_mass=np.asarray(body_mass, np.float32),

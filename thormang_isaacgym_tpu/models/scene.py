@@ -78,7 +78,7 @@ def compose(actors, name="scene") -> RobotModel:
     dkeys_geom = ("geom_friction", "geom_restitution")
     dnew = {k: [] for k in dkeys_body + dkeys_joint + dkeys_geom}
 
-    joint_of_body = []  # parallel to order (skipping roots)
+    joint_new = {}  # (actor, old joint idx) -> new joint idx
     for i, (ai, b) in enumerate(order):
         m = models[ai]
         pfx = prefixes[ai]
@@ -90,6 +90,7 @@ def compose(actors, name="scene") -> RobotModel:
             dnew[k].append(np.asarray(m._defaults[k])[b])
         if p >= 0:
             j = b - m.n_roots  # joint index within its model
+            joint_new[(ai, j)] = len(joint["names"])
             joint["names"].append(pfx + m.joint_names[j])
             joint["type"].append(m.joint_type[j])
             joint["axis"].append(m.joint_axis[j])
@@ -113,6 +114,26 @@ def compose(actors, name="scene") -> RobotModel:
                 else np.asarray(v, np.int32) for k, v in dnew.items()}
     defaults["gravity"] = np.asarray(models[0]._defaults["gravity"], np.float32)
 
+    # fixed tendons: remap each actor's coefficient vectors into the
+    # composed joint numbering; concat per-tendon params
+    nj_total = len(joint["names"])
+    tendons = []
+    t_stiff, t_damp = [], []
+    for ai, m in enumerate(models):
+        t_stiff.extend(np.asarray(m._defaults.get(
+            "tendon_stiffness", np.zeros(len(m.tendons)))).tolist())
+        t_damp.extend(np.asarray(m._defaults.get(
+            "tendon_damping", np.zeros(len(m.tendons)))).tolist())
+        for (coef, lo, hi, tname) in m.tendons:
+            new_coef = np.zeros(nj_total, np.float32)
+            for j_old, c in enumerate(np.asarray(coef)):
+                if c != 0.0:
+                    new_coef[joint_new[(ai, j_old)]] = c
+            tendons.append((tuple(new_coef.tolist()), lo, hi,
+                            prefixes[ai] + tname))
+    defaults["tendon_stiffness"] = np.asarray(t_stiff, np.float32)
+    defaults["tendon_damping"] = np.asarray(t_damp, np.float32)
+
     root_floating = tuple(bool(m.roots_floating[0]) for m in models)
     return RobotModel(
         name=name,
@@ -127,6 +148,7 @@ def compose(actors, name="scene") -> RobotModel:
         floating=root_floating[0],
         geoms=tuple(geoms),
         sites=sites,
+        tendons=tuple(tendons),
         _defaults=defaults,
         n_roots=n_actors,
         root_floating=root_floating,

@@ -1,17 +1,34 @@
-"""Actor-vs-actor primitive collision (penalty, lockstep, static pair list).
+"""Actor-vs-actor narrowphase collision (lockstep, static candidate lists)
+with an IMPLICIT normal solve.
 
-TPU-native replacement for PhysX inter-actor contact generation (spec: the
-reference's multi-actor scenes — ball on tray `tasks/ball_balance.py`, object
-in hand `tasks/shadow_hand.py`, table between robots `tasks/MA_OP3.py`).
+TPU-native replacement for PhysX inter-actor contact generation + TGS solve
+(spec: the reference's multi-actor scenes — ball on tray
+`tasks/ball_balance.py`, cube grasp/stack `tasks/franka_cube_stack.py:560-600`,
+object in hand `tasks/shadow_hand.py`, table between robots `tasks/MA_OP3.py`).
 Pairs are enumerated at trace time between geoms of DIFFERENT actors
 (self-collision within an actor is off, matching IsaacGym's default
-collision filtering); every pair is evaluated unconditionally and masked by
-penetration — no broadphase, no divergence, which is the right trade at
-IsaacGym-style geom counts (a handful per actor).
+filtering); every candidate is evaluated unconditionally and masked by
+penetration — no broadphase, no divergence, the right trade at
+IsaacGym-style geom counts.
 
-Supported pairs (round 1): sphere-sphere, sphere-capsule, sphere-box.
-The same stability-clamped spring-damper + regularized Coulomb model as the
-ground kernel, with the pair's REDUCED mass bounding the coefficients.
+Narrowphase (static candidate counts per pair):
+  sphere  vs sphere/capsule/box/cylinder  -> 1 point
+  capsule vs capsule                      -> 1 point (segment-segment)
+  box     vs capsule                      -> 3 points (spheres at t=0,.5,1)
+  box     vs box                          -> 16 points (8 vertices each way)
+
+Contact model — backward-Euler IMPLICIT normal, the same mechanism that
+makes the joint drives unconditionally stable at PhysX-grade gains:
+  f_n(t+h) = kn*depth(t) - (h*kn + kd) * vn(t+h)
+The explicit part kn*depth enters as an external force; the velocity-
+proportional reaction enters the articulated-body solve as a rank-1 ADDED
+INERTIA  dIA = h*(h*kn + kd) * u u^T  (u = [r x n; n] in the link frame)
+on each contacted body, so arbitrary contact stiffness cannot blow up —
+which is what lets a position-driven gripper (implicit drive, Kp 1e6) be
+STOPPED by a 0.1 kg object instead of crushing through the old explicitly-
+clamped penalty spring. Friction stays explicit (regularized Coulomb with
+a true-stiction impulse cap), evaluated against the implicit normal-force
+estimate.
 """
 from __future__ import annotations
 
@@ -24,7 +41,8 @@ from thormang_isaacgym_tpu.models.robot import (
 )
 from thormang_isaacgym_tpu.ops.kinematics import BodyFrames
 
-_SUPPORTED = {
+# geom-type pairs handled by a single-candidate sphere-style kernel
+_SPHERE_FIRST = {
     (GEOM_SPHERE, GEOM_SPHERE), (GEOM_SPHERE, GEOM_CAPSULE),
     (GEOM_SPHERE, GEOM_BOX), (GEOM_SPHERE, GEOM_CYLINDER),
 }
@@ -34,12 +52,12 @@ def _free_body_flags(model: RobotModel) -> np.ndarray:
     """(nb,) 1.0 where the body's actor root is floating (free to fall)."""
     flags = model.roots_floating
     actors = model.actors
-    # actor index -> is its root floating
     return np.array([1.0 if flags[actors[b]] else 0.0
                      for b in range(model.nb)], np.float32)
 
 
 def _pairs(model: RobotModel):
+    """Static geom-pair list: (geom_a, geom_b, kind)."""
     actors = model.actors
     out = []
     for i, g1 in enumerate(model.geoms):
@@ -49,10 +67,18 @@ def _pairs(model: RobotModel):
             if actors[g1.body] == actors[g2.body]:
                 continue
             t1, t2 = g1.gtype, g2.gtype
-            if (t1, t2) in _SUPPORTED:
-                out.append((i, jj, False))
-            elif (t2, t1) in _SUPPORTED:
-                out.append((jj, i, True))
+            if (t1, t2) in _SPHERE_FIRST:
+                out.append((i, jj, "sphere"))
+            elif (t2, t1) in _SPHERE_FIRST:
+                out.append((jj, i, "sphere"))
+            elif (t1, t2) == (GEOM_CAPSULE, GEOM_CAPSULE):
+                out.append((i, jj, "capcap"))
+            elif t1 == GEOM_BOX and t2 == GEOM_CAPSULE:
+                out.append((jj, i, "capbox"))   # capsule first
+            elif t1 == GEOM_CAPSULE and t2 == GEOM_BOX:
+                out.append((i, jj, "capbox"))
+            elif (t1, t2) == (GEOM_BOX, GEOM_BOX):
+                out.append((i, jj, "boxbox"))
     return out
 
 
@@ -60,196 +86,293 @@ def has_pairs(model: RobotModel) -> bool:
     return len(_pairs(model)) > 0
 
 
+def _sphere_box_point(center, r, box_pos, box_quat, half):
+    """Sphere(center, r) vs box -> (n a->b, depth, contact point)."""
+    local = Q.rotate_inv(box_quat, center - box_pos)
+    clamped = jnp.clip(local, -half, half)
+    inside = jnp.all(jnp.abs(local) < half)
+    d_out = local - clamped
+    dist_out = jnp.linalg.norm(d_out) + 1e-9
+    face_gap = half - jnp.abs(local)
+    k = jnp.argmin(face_gap)
+    onehot = (jnp.arange(3) == k).astype(jnp.float32)
+    out_local = jnp.where(inside, jnp.sign(local) * onehot, d_out / dist_out)
+    depth = jnp.where(inside, r + face_gap[k], r - dist_out)
+    n = -Q.rotate(box_quat, out_local)       # from sphere(a) toward box(b)
+    cp = center + n * r
+    return n, depth, cp
+
+
+def _candidates(model: RobotModel, frames: BodyFrames):
+    """All contact candidates for this env.
+
+    Returns a python list of (geom_a, geom_b, body_a, body_b, n, depth, cp)
+    with n the unit normal from a to b, cp the contact point (world).
+    """
+    pairs = _pairs(model)
+    if not pairs:
+        return []
+    gpos = np.array([g.pos for g in model.geoms], np.float32).reshape(-1, 3)
+    gquat = np.array([g.quat for g in model.geoms], np.float32).reshape(-1, 4)
+
+    def gpose(i):
+        b = model.geoms[i].body
+        qw = Q.mul(frames.quat[b], jnp.asarray(gquat[i]))
+        pw = frames.pos[b] + Q.rotate(frames.quat[b], jnp.asarray(gpos[i]))
+        return pw, qw
+
+    out = []
+    for (ia, ib, kind) in pairs:
+        ga, gb = model.geoms[ia], model.geoms[ib]
+        ba, bb = ga.body, gb.body
+        pa, qa = gpose(ia)
+        pb, qb = gpose(ib)
+        if kind == "sphere":
+            ta, tb = ga.gtype, gb.gtype
+            ra = ga.size[0]
+            if tb == GEOM_SPHERE:
+                rb = gb.size[0]
+                d = pb - pa
+                dist = jnp.linalg.norm(d) + 1e-9
+                n = d / dist
+                depth = ra + rb - dist
+                cp = pa + n * (ra - depth * 0.5)
+            elif tb == GEOM_CAPSULE:
+                rb, hl = gb.size
+                axis = Q.rotate(qb, jnp.array([0.0, 0, 1.0]))
+                t = jnp.clip(jnp.dot(pa - pb, axis), -hl, hl)
+                closest = pb + axis * t
+                d = closest - pa
+                dist = jnp.linalg.norm(d) + 1e-9
+                n = d / dist
+                depth = ra + rb - dist
+                cp = pa + n * (ra - depth * 0.5)
+            elif tb == GEOM_CYLINDER:
+                # flat disk (tray): closest point in cylinder frame
+                R_cyl, hw = gb.size
+                local = Q.rotate_inv(qb, pa - pb)
+                r_xy = jnp.linalg.norm(local[:2]) + 1e-9
+                clamped_xy = local[:2] * jnp.minimum(R_cyl / r_xy, 1.0)
+                clamped_z = jnp.clip(local[2], -hw, hw)
+                closest = jnp.concatenate([clamped_xy, clamped_z[None]])
+                d_out = local - closest
+                dist_out = jnp.linalg.norm(d_out) + 1e-9
+                inside = (r_xy < R_cyl) & (jnp.abs(local[2]) < hw)
+                face_gap = hw - jnp.abs(local[2])
+                wall_gap = R_cyl - r_xy
+                n_face = jnp.concatenate([jnp.zeros(2), jnp.sign(local[2])[None]])
+                n_wall = jnp.concatenate([local[:2] / r_xy, jnp.zeros(1)])
+                n_in = jnp.where(face_gap < wall_gap, n_face, n_wall)
+                out_local = jnp.where(inside, n_in, d_out / dist_out)
+                depth = jnp.where(inside, ra + jnp.minimum(face_gap, wall_gap),
+                                  ra - dist_out)
+                n = -Q.rotate(qb, out_local)
+                cp = pa + n * ra
+            else:  # box
+                half = jnp.asarray(gb.size)
+                n, depth, cp = _sphere_box_point(pa, ra, pb, qb, half)
+            out.append((ia, ib, ba, bb, n, depth, cp))
+        elif kind == "capcap":
+            r1, h1 = ga.size
+            r2, h2 = gb.size
+            a1 = Q.rotate(qa, jnp.array([0.0, 0, 1.0]))
+            a2 = Q.rotate(qb, jnp.array([0.0, 0, 1.0]))
+            P1, Q1 = pa - a1 * h1, pa + a1 * h1
+            P2, Q2 = pb - a2 * h2, pb + a2 * h2
+            d1, d2 = Q1 - P1, Q2 - P2
+            r0 = P1 - P2
+            a_ = jnp.dot(d1, d1) + 1e-9
+            e_ = jnp.dot(d2, d2) + 1e-9
+            b_ = jnp.dot(d1, d2)
+            c_ = jnp.dot(d1, r0)
+            f_ = jnp.dot(d2, r0)
+            denom = a_ * e_ - b_ * b_
+            s = jnp.where(jnp.abs(denom) > 1e-9,
+                          jnp.clip((b_ * f_ - c_ * e_) / jnp.where(
+                              jnp.abs(denom) > 1e-9, denom, 1.0), 0.0, 1.0),
+                          0.0)
+            t = jnp.clip((b_ * s + f_) / e_, 0.0, 1.0)
+            s = jnp.clip((b_ * t - c_) / a_, 0.0, 1.0)
+            c1 = P1 + d1 * s
+            c2 = P2 + d2 * t
+            d = c2 - c1
+            dist = jnp.linalg.norm(d) + 1e-9
+            n = d / dist
+            depth = r1 + r2 - dist
+            cp = c1 + n * (r1 - depth * 0.5)
+            out.append((ia, ib, ba, bb, n, depth, cp))
+        elif kind == "capbox":
+            # capsule (a) vs box (b): sphere tests at 3 points on the axis
+            r1, h1 = ga.size
+            half = jnp.asarray(gb.size)
+            axis = Q.rotate(qa, jnp.array([0.0, 0, 1.0]))
+            for tpar in (-1.0, 0.0, 1.0):
+                center = pa + axis * (h1 * tpar)
+                n, depth, cp = _sphere_box_point(center, r1, pb, qb, half)
+                out.append((ia, ib, ba, bb, n, depth, cp))
+        elif kind == "boxbox":
+            half_a = np.array(ga.size, np.float32)
+            half_b = jnp.asarray(gb.size)
+            corners_a = np.array([[sx * half_a[0], sy * half_a[1], sz * half_a[2]]
+                                  for sx in (-1, 1) for sy in (-1, 1)
+                                  for sz in (-1, 1)], np.float32)
+            # vertices of A inside B (normal from B face, pointing a->b is
+            # the INWARD face normal of B at the vertex)
+            for vtx in corners_a:
+                pv = pa + Q.rotate(qa, jnp.asarray(vtx))
+                local = Q.rotate_inv(qb, pv - pb)
+                face_gap = half_b - jnp.abs(local)
+                inside = jnp.all(face_gap > 0)
+                k = jnp.argmin(face_gap)
+                onehot = (jnp.arange(3) == k).astype(jnp.float32)
+                out_local = jnp.sign(local) * onehot     # outward from B
+                depth = jnp.where(inside, face_gap[k], -1.0)
+                n = -Q.rotate(qb, out_local)             # a -> b
+                out.append((ia, ib, ba, bb, n, depth, pv))
+            half_a_j = jnp.asarray(ga.size)
+            corners_b = np.array([[sx * float(gb.size[0]), sy * float(gb.size[1]),
+                                   sz * float(gb.size[2])]
+                                  for sx in (-1, 1) for sy in (-1, 1)
+                                  for sz in (-1, 1)], np.float32)
+            for vtx in corners_b:
+                pv = pb + Q.rotate(qb, jnp.asarray(vtx))
+                local = Q.rotate_inv(qa, pv - pa)
+                face_gap = half_a_j - jnp.abs(local)
+                inside = jnp.all(face_gap > 0)
+                k = jnp.argmin(face_gap)
+                onehot = (jnp.arange(3) == k).astype(jnp.float32)
+                out_local = jnp.sign(local) * onehot     # outward from A
+                depth = jnp.where(inside, face_gap[k], -1.0)
+                n = Q.rotate(qa, out_local)              # a -> b
+                out.append((ia, ib, ba, bb, n, depth, pv))
+    return out
+
+
 def pairwise_contact_forces(model: RobotModel, params: ModelParams,
                             frames: BodyFrames, *, stiffness: float,
                             damping: float, friction_vel: float,
                             dt: float,
                             max_depenetration_velocity: float = 2.0):
-    """Returns world-frame f_ext (nb, 6) additions from actor-actor contact.
+    """Actor-actor contact for one env (caller vmaps).
 
-    Single env; caller vmaps. Zero array if the model has no eligible pairs.
+    Returns (f_ext_w (nb, 6), dIA (nb, 6, 6), net (nb, 3)):
+    - f_ext_w: world-frame [torque, force] — the EXPLICIT part
+      (kn*depth normal + friction).
+    - dIA: per-body added inertia in the LINK frame — the IMPLICIT
+      velocity reaction h*(h*kn + kd) u u^T per contact; feed to
+      `aba(extra_body_inertia=...)`.
+    - net: per-body world contact force (sensor view).
     """
-    pairs = _pairs(model)
     nb = model.nb
-    if not pairs:
-        return jnp.zeros((nb, 6))
+    cands = _candidates(model, frames)
+    if not cands:
+        z6 = jnp.zeros((nb, 6))
+        return z6, jnp.zeros((nb, 6, 6)), jnp.zeros((nb, 3))
 
-    gpos = np.array([g.pos for g in model.geoms], np.float32).reshape(-1, 3)
-    gquat = np.array([g.quat for g in model.geoms], np.float32).reshape(-1, 4)
-    gbody = np.array([g.body for g in model.geoms])
+    h = dt
+    free = _free_body_flags(model)
+    kn_cfg = float(stiffness)
+    kd_cfg = float(damping)
 
-    forces = []   # (body_a, body_b, contact_point, force_on_a)
-    for (ia, ib, _sw) in pairs:
-        ga, gb = model.geoms[ia], model.geoms[ib]
-        ba, bb = gbody[ia], gbody[ib]
-        qa = Q.mul(frames.quat[ba], jnp.asarray(gquat[ia]))
-        qb = Q.mul(frames.quat[bb], jnp.asarray(gquat[ib]))
-        pa = frames.pos[ba] + Q.rotate(frames.quat[ba], jnp.asarray(gpos[ia]))
-        pb = frames.pos[bb] + Q.rotate(frames.quat[bb], jnp.asarray(gpos[ib]))
-
-        ta, tb = ga.gtype, gb.gtype
-        if (ta, tb) == (GEOM_SPHERE, GEOM_SPHERE):
-            ra, rb = ga.size[0], gb.size[0]
-            d = pb - pa
-            dist = jnp.linalg.norm(d) + 1e-9
-            n = d / dist                       # from a to b
-            depth = ra + rb - dist
-            cp = pa + n * (ra - depth * 0.5)
-        elif (ta, tb) == (GEOM_SPHERE, GEOM_CAPSULE):
-            ra = ga.size[0]
-            rb, hl = gb.size
-            axis = Q.rotate(qb, jnp.array([0.0, 0, 1.0]))
-            t = jnp.clip(jnp.dot(pa - pb, axis), -hl, hl)
-            closest = pb + axis * t
-            d = closest - pa
-            dist = jnp.linalg.norm(d) + 1e-9
-            n = d / dist
-            depth = ra + rb - dist
-            cp = pa + n * (ra - depth * 0.5)
-        elif (ta, tb) == (GEOM_SPHERE, GEOM_CYLINDER):
-            # flat disk (tray): closest point in cylinder frame
-            ra = ga.size[0]
-            R_cyl, hw = gb.size
-            local = Q.rotate_inv(qb, pa - pb)
-            r_xy = jnp.linalg.norm(local[:2]) + 1e-9
-            clamped_xy = local[:2] * jnp.minimum(R_cyl / r_xy, 1.0)
-            clamped_z = jnp.clip(local[2], -hw, hw)
-            closest = jnp.concatenate([clamped_xy, clamped_z[None]])
-            d_out = local - closest
-            dist_out = jnp.linalg.norm(d_out) + 1e-9
-            inside = (r_xy < R_cyl) & (jnp.abs(local[2]) < hw)
-            # inside: push toward nearest of the two faces / wall
-            face_gap = hw - jnp.abs(local[2])
-            wall_gap = R_cyl - r_xy
-            n_face = jnp.concatenate([jnp.zeros(2), jnp.sign(local[2])[None]])
-            n_wall = jnp.concatenate([local[:2] / r_xy, jnp.zeros(1)])
-            n_in = jnp.where(face_gap < wall_gap, n_face, n_wall)
-            out_local = jnp.where(inside, n_in, d_out / dist_out)
-            depth = jnp.where(inside, ra + jnp.minimum(face_gap, wall_gap),
-                              ra - dist_out)
-            n = -Q.rotate(qb, out_local)
-            cp = pa + n * ra
-        else:  # (GEOM_SPHERE, GEOM_BOX)
-            ra = ga.size[0]
-            half = jnp.asarray(gb.size)
-            # sphere center in box frame
-            local = Q.rotate_inv(qb, pa - pb)
-            clamped = jnp.clip(local, -half, half)
-            inside = jnp.all(jnp.abs(local) < half)
-            # outside: closest point on surface; inside: push toward the
-            # nearest face
-            d_out = local - clamped           # surface point -> center (outward)
-            dist_out = jnp.linalg.norm(d_out) + 1e-9
-            face_gap = half - jnp.abs(local)
-            k = jnp.argmin(face_gap)
-            # outward push direction on the sphere, in box frame
-            out_local = jnp.where(inside, jnp.sign(local) * jax_one_hot(k, 3),
-                                  d_out / dist_out)
-            depth = jnp.where(inside, ra + face_gap[k], ra - dist_out)
-            n = -Q.rotate(qb, out_local)      # from sphere(a) toward box(b)
-            cp = pa + n * ra                   # sphere surface point
-        forces.append((ba, bb, cp, n, depth))
-
-    # accumulate via one-hot matmuls (static matrices, no scatter)
-    rows_a = np.zeros((nb, len(forces)), np.float32)
-    rows_b = np.zeros((nb, len(forces)), np.float32)
-    # active-contact count per body (this kernel's pairs): the stability
-    # budget is shared by all springs acting on a body (see ops/contact.py)
-    rows_all = np.zeros((nb, len(forces)), np.float32)
-    for k_i, (ba, bb, cp, n, depth) in enumerate(forces):
+    # count active contacts per body (shared stiction budget)
+    act_list = [(d > 0).astype(jnp.float32) for (_, _, _, _, _, d, _) in cands]
+    rows_all = np.zeros((nb, len(cands)), np.float32)
+    for k_i, (_, _, ba, bb, *_rest) in enumerate(cands):
         rows_all[ba, k_i] = 1.0
         rows_all[bb, k_i] = 1.0
-    act_flags = jnp.stack([(d > 0).astype(jnp.float32)
-                           for (_, _, _, _, d) in forces])
-    n_active_body = jnp.asarray(rows_all) @ act_flags       # (nb,)
-    fcols, tacols, tbcols = [], [], []
-    for k_i, (ba, bb, cp, n, depth) in enumerate(forces):
-        def eff_mass(b, cp, n_hat):
-            m_lin = params.body_mass[b]
-            I_min = jnp.min(jnp.diag(params.body_inertia[b]))
-            r = cp - frames.pos[b]
-            r_perp2 = jnp.sum(jnp.cross(r, n_hat) ** 2)
-            m_rot = I_min / (r_perp2 + 1e-6)
-            return jnp.minimum(m_lin, jnp.where(r_perp2 < 1e-6, m_lin, m_rot))
+    n_active_body = jnp.asarray(rows_all) @ jnp.stack(act_list)   # (nb,)
 
-        m_a = eff_mass(ba, cp, n) / jnp.maximum(n_active_body[ba], 1.0)
-        m_b = eff_mass(bb, cp, n) / jnp.maximum(n_active_body[bb], 1.0)
-        m_red = m_a * m_b / (m_a + m_b)
-        kn = jnp.minimum(stiffness, 0.25 * m_red / dt**2)
-        kd = jnp.minimum(damping, 0.5 * m_red / dt)
+    rows_a = np.zeros((nb, len(cands)), np.float32)
+    rows_b = np.zeros((nb, len(cands)), np.float32)
+    fcols, tacols, tbcols = [], [], []
+    u_cols = []          # (2 per contact) implicit-damper u vectors, link frame
+    u_body_rows = np.zeros((nb, 2 * len(cands)), np.float32)
+    u_mass = []
+
+    for k_i, (ia, ib, ba, bb, n, depth, cp) in enumerate(cands):
+        active = depth > 0
         va = frames.vel[ba] + jnp.cross(frames.omega[ba], cp - frames.pos[ba])
         vb = frames.vel[bb] + jnp.cross(frames.omega[bb], cp - frames.pos[bb])
         vrel = vb - va
         vn = jnp.dot(vrel, n)
-        fn = jnp.maximum(kn * depth - kd * vn, 0.0) * (depth > 0)
-        # max_depenetration_velocity cap (see ops/contact.py), gated on
-        # SEPARATION (vn > 0): don't launch deeply-embedded bodies at the
-        # spring's full restitution speed, but leave static (resting /
-        # approaching) contacts free to bear load — an ungated cap limits
-        # the static squeeze force to m*v_dep/h and grips fail
-        cap = jnp.where(vn > 0.0,
-                        m_red * jnp.maximum(max_depenetration_velocity - vn, 0.0) / dt,
-                        jnp.inf)
-        fn = jnp.clip(fn, 0.0, cap)
+
+        # backward-Euler normal force, split in two pieces:
+        #   f(t+h) = kn*depth(t) - D*vn(t)  -  D*(vn(t+h) - vn(t)),
+        #   D = h*kn + kd.
+        # The first piece (current-velocity evaluation) is applied as an
+        # explicit external force here; the delta-velocity piece is solved
+        # exactly inside the ABA via the h*D u u^T added inertia below.
+        D_imp = h * kn_cfg + kd_cfg
+        # PhysX max_depenetration_velocity: bound the position-correction
+        # (spring) term so the steady-state separation velocity under the
+        # implicit damper, kn*depth / D, cannot exceed max_dep — a deeply
+        # embedded contact (e.g. an 87 Nm arm pressing a cube into a pad)
+        # exits at <= max_dep instead of storing unbounded spring energy
+        # and launching the object on release.
+        spring = jnp.minimum(kn_cfg * depth,
+                             D_imp * max_depenetration_velocity)
+        fn = jnp.maximum(spring - D_imp * vn, 0.0) * active
+        # extra impulse guard while separating
+        m_a = params.body_mass[ba]
+        m_b = params.body_mass[bb]
+        m_red = m_a * m_b / (m_a + m_b)
+        cap = jnp.where(
+            vn > 0.0,
+            m_red * jnp.maximum(max_depenetration_velocity - vn, 0.0) / h
+            + D_imp * max_depenetration_velocity,
+            jnp.inf)
+        fn_exp = jnp.minimum(fn, cap)
+
+        # ---- friction (explicit, true stiction) ----
         vt = vrel - vn * n
-        mu = jnp.sqrt(params.geom_friction[forces_geom_a(pairs, k_i)]
-                      * params.geom_friction[forces_geom_b(pairs, k_i)])
-        # STICTION via predicted slip: friction opposes the relative
-        # tangential velocity the pair would have at the END of the substep
-        # (current slip + this substep's gravity kick on the free side),
-        # with the impulse capped at what stops that slip. A gripped body at
-        # rest gets exactly the gravity-cancelling force while inside the
-        # friction cone — true static hold, which pure velocity
-        # -proportional (regularized Coulomb) friction cannot provide: it
-        # lets grasped objects creep out of any grip at
-        # v = load/(mu*fn) * friction_vel.
+        mu = jnp.sqrt(params.geom_friction[ia] * params.geom_friction[ib])
         g_vec = params.gravity
         g_t = g_vec - jnp.dot(g_vec, n) * n
-        # gravity kicks vrel = vb - va only through the FREE (floating
-        # -root) side; a fixed-base driven arm holds its position
-        free = _free_body_flags(model)
         kick = float(free[bb] - free[ba])
-        vt_pred = vt + dt * g_t * kick
+        vt_pred = vt + h * g_t * kick
         vtp_norm = jnp.linalg.norm(vt_pred) + 1e-9
-        m_stick = (params.body_mass[ba] * params.body_mass[bb]
-                   / (params.body_mass[ba] + params.body_mass[bb]))
-        # impulse budget: reduced mass for stopping SLIP, plus the free
-        # body's full weight share for carrying the static load (the
-        # reduced mass alone under-caps gravity compensation and grasped
-        # objects sag out of the grip)
         if kick != 0.0:
             loaded = bb if kick > 0 else ba
             w_grav = params.body_mass[loaded] * jnp.linalg.norm(g_t) \
                 / jnp.maximum(n_active_body[loaded], 1.0)
         else:
             w_grav = 0.0
-        ft_mag = jnp.minimum(mu * fn, m_stick * jnp.linalg.norm(vt) / dt + w_grav)
-        # friction on b OPPOSES b's predicted relative slip
-        ft = -ft_mag * (vt_pred / vtp_norm) * (depth > 0)
-        f_on_b = fn * n + ft                 # force pushing b away from a
+        ft_mag = jnp.minimum(mu * fn,
+                             m_red * jnp.linalg.norm(vt) / h + w_grav)
+        ft = -ft_mag * (vt_pred / vtp_norm) * active
+
+        f_on_b = fn_exp * n + ft
         rows_a[ba, k_i] = 1.0
         rows_b[bb, k_i] = 1.0
-        fcols.append(-f_on_b)                # reaction on a
+        fcols.append(-f_on_b)
         tacols.append(jnp.cross(cp - frames.pos[ba], -f_on_b))
         tbcols.append(jnp.cross(cp - frames.pos[bb], f_on_b))
 
-    F_a = jnp.stack(fcols)        # (P, 3) on a
+        # ---- implicit velocity reaction as added inertia ----
+        # gate: active and not separating fast (no suction on breakaway)
+        gate = (active & (vn < 0.5 * max_depenetration_velocity)).astype(jnp.float32)
+        M_add = h * (h * kn_cfg + kd_cfg) * gate
+        for (body, sign) in ((ba, 1.0), (bb, 1.0)):
+            r_l = Q.rotate_inv(frames.quat[body], cp - frames.pos[body])
+            n_l = Q.rotate_inv(frames.quat[body], n)
+            u = jnp.concatenate([jnp.cross(r_l, n_l), n_l])
+            u_cols.append(u * jnp.sqrt(M_add))
+            u_body_rows[body, len(u_cols) - 1] = 1.0
+
+    F_a = jnp.stack(fcols)
     T_a = jnp.stack(tacols)
     T_b = jnp.stack(tbcols)
     A = jnp.asarray(rows_a)
     Bm = jnp.asarray(rows_b)
     f_ext = jnp.concatenate([A @ T_a + Bm @ T_b,
                              A @ F_a + Bm @ (-F_a)], axis=-1)
-    return f_ext
+    # net contact force per body: force ON each body from pair contacts
+    # (F_a is the reaction on a; force on b is -F_a)
+    net = A @ F_a + Bm @ (-F_a)
 
-
-def forces_geom_a(pairs, k):
-    return pairs[k][0]
-
-
-def forces_geom_b(pairs, k):
-    return pairs[k][1]
-
-
-def jax_one_hot(k, n):
-    return (jnp.arange(n) == k).astype(jnp.float32)
+    # dIA: sum of (sqrt(M) u)(sqrt(M) u)^T per body
+    U = jnp.stack(u_cols)                       # (2P, 6)
+    sel = jnp.asarray(u_body_rows)              # (nb, 2P)
+    outer = U[:, :, None] * U[:, None, :]       # (2P, 6, 6)
+    dIA = jnp.einsum("bp,pij->bij", sel, outer)
+    return f_ext, dIA, net

@@ -47,6 +47,7 @@ def aba(
     gravity: jnp.ndarray,    # (3,) world gravity vector
     precomputed=None,        # optional (pos_local, quat_local, quat_w)
     extra_diag: jnp.ndarray | None = None,   # (nj,) implicit joint impedance
+    extra_body_inertia: jnp.ndarray | None = None,  # (nb, 6, 6) link frame
 ) -> jnp.ndarray:
     """Returns qdd: (nv,) = [root_acc (6, body frame), joint_qdd (nj)].
 
@@ -56,16 +57,22 @@ def aba(
     how PhysX-style arbitrarily stiff joint drives stay stable under
     explicit integration: the damping/stiffness reaction to the *new*
     velocity moves to the left-hand side of the joint solve.
+
+    `extra_body_inertia` adds a per-body 6x6 (link-frame) term to the
+    spatial inertia before pass 2 — the implicit velocity reaction of
+    contact springs, h*(h*kn + kd) u u^T per contact (ops/collide.py).
+    Same mechanism, applied at the body instead of the joint: makes
+    arbitrarily stiff contact unconditionally stable.
     """
     # The small 3x3/6x6 contractions here are numerically load-bearing
     # (articulated inertia propagation); keep them in full f32 even on MXU.
     with jax.default_matmul_precision("highest"):
         return _aba(model, params, q, qd, tau, f_ext, gravity, precomputed,
-                    extra_diag)
+                    extra_diag, extra_body_inertia)
 
 
 def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None,
-         extra_diag=None):
+         extra_diag=None, extra_body_inertia=None):
     """Banded level sweeps: per-level chunks with static slices, constant
     -index parent gathers, and one-hot-matmul scatter-adds — no XLA scatter
     ops (they serialize badly on TPU)."""
@@ -109,6 +116,8 @@ def _aba(model, params, q, qd, tau, f_ext, gravity, precomputed=None,
     com = params.body_com
     I_com = params.body_inertia
     IA_full = sp.inertia_matrix(mass, com, I_com)        # (nb, 6, 6)
+    if extra_body_inertia is not None:
+        IA_full = IA_full + extra_body_inertia
     Iv = sp.inertia_mul(mass, com, I_com, v)             # (nb, 6)
     nb = model.nb
     g_local = Q.rotate_inv(quat_w, jnp.broadcast_to(gravity, (nb, 3)))
@@ -245,7 +254,8 @@ def passive_forces(params: ModelParams, joint_q: jnp.ndarray,
                    joint_qd: jnp.ndarray, h: float,
                    limit_stiffness: float = 2000.0,
                    limit_damping: float = 50.0,
-                   friction_vel_scale: float = 0.05):
+                   friction_vel_scale: float = 0.05,
+                   tendons: tuple = ()):
     """Passive joint forces in implicit (backward-Euler) form.
 
     Returns (tau_explicit, diag): the realized torque at the new velocity is
@@ -276,6 +286,27 @@ def passive_forces(params: ModelParams, joint_q: jnp.ndarray,
     tau = tau + in_violation * (-k_lim * (violation + h * joint_qd)
                                 - d_lim * joint_qd)
     diag = diag + in_violation * (h * h * k_lim + h * d_lim)
+
+    # fixed tendons (RobotModel.tendons): L = C q spring-limited to [lo, hi]
+    # — the reference's MJCF coupled-joint tendons with limit_stiffness /
+    # damping props (shadow_hand.py:252-268). Backward-Euler like the limit
+    # springs; the diagonal approximation of the rank-1 coupling joins D.
+    if tendons:
+        C = jnp.asarray(np.array([t[0] for t in tendons], np.float32))  # (nt, nj)
+        lo = jnp.asarray(np.array([t[1] for t in tendons], np.float32))
+        hi = jnp.asarray(np.array([t[2] for t in tendons], np.float32))
+        L = C @ joint_q
+        Ld = C @ joint_qd
+        below_t = jnp.minimum(L - lo, 0.0)
+        above_t = jnp.maximum(L - hi, 0.0)
+        viol = below_t + above_t
+        in_vio = ((below_t < 0) | (above_t > 0)).astype(joint_q.dtype)
+        k_t = params.tendon_stiffness
+        d_t = params.tendon_damping
+        f_t = in_vio * (-k_t * (viol + h * Ld)) - d_t * Ld   # per-tendon force
+        tau = tau + C.T @ f_t
+        diag_t = in_vio * (h * h * k_t) + h * d_t
+        diag = diag + (C * C).T @ diag_t
     return tau, diag
 
 

@@ -396,6 +396,8 @@ def fused_eligible(model: RobotModel, ground_height_fn, attractors) -> bool:
         return False
     if collide_mod.has_pairs(model):
         return False
+    if getattr(model, "tendons", ()):
+        return False
     return True
 
 

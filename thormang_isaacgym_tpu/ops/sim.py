@@ -93,13 +93,19 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
     )
     f_ext_w = f_ext_w + body_wrench_w  # external pushes (apply_rigid_body_force_tensors)
 
-    # actor-vs-actor contact (multi-actor scenes only; static pair list)
+    # actor-vs-actor contact (multi-actor scenes only; static pair list).
+    # The normal is solved IMPLICITLY: the explicit spring force joins
+    # f_ext_w, the velocity reaction joins the articulated-body inertia
+    # (dIA) so stiff contact is unconditionally stable (see ops/collide.py).
+    dIA = None
     if collide_mod.has_pairs(model):
-        f_ext_w = f_ext_w + collide_mod.pairwise_contact_forces(
+        f_pair, dIA, net_pair = collide_mod.pairwise_contact_forces(
             model, params, frames,
             stiffness=sp_.contact_stiffness, damping=sp_.contact_damping,
             friction_vel=sp_.friction_vel, dt=h,
             max_depenetration_velocity=sp_.max_depenetration_velocity)
+        f_ext_w = f_ext_w + f_pair
+        net = net + net_pair
 
     # world-point attractors (gymapi.create_rigid_body_attractor equivalent,
     # e.g. the BallBalance feet pins, ball_balance.py:305-318): translation
@@ -143,11 +149,13 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
     tau_p, diag_p = dyn.passive_forces(
         params, joint_q, joint_qd, h,
         limit_stiffness=sp_.joint_limit_stiffness,
-        limit_damping=sp_.joint_limit_damping)
+        limit_damping=sp_.joint_limit_damping,
+        tendons=model.tendons)
 
     qdd = dyn.aba(model, params, q, qd, tau_d + tau_p, f_ext, gravity,
                   precomputed=(local[0], local[1], frames.quat),
-                  extra_diag=diag_d + diag_p)
+                  extra_diag=diag_d + diag_p,
+                  extra_body_inertia=dIA)
 
     # ---- semi-implicit Euler ----
     qd_new = qd + h * qdd

@@ -34,7 +34,8 @@ def main(argv=None):
     num_envs = cfg.get("num_envs") or cfg["task"].get("env", {}).get("numEnvs", 4096)
     seed = int(cfg.get("seed", 42))
 
-    env = tgx.make(task_name, num_envs=int(num_envs), seed=seed)
+    env = tgx.make(task_name, num_envs=int(num_envs), seed=seed,
+                   cfg=cfg.get("task") or None)
     ppo_cfg = PPOConfig.from_rlgames(cfg["train"]) if cfg["train"] else PPOConfig()
 
     n_dev = len(jax.devices())

@@ -22,6 +22,8 @@ TASK_MAP = {
     "FrankaCubeStack": ("thormang_isaacgym_tpu.tasks.franka_cube_stack", "FrankaCubeStack"),
     "Ingenuity": ("thormang_isaacgym_tpu.tasks.ingenuity", "Ingenuity"),
     "Quadcopter": ("thormang_isaacgym_tpu.tasks.quadcopter", "Quadcopter"),
+    "ShadowHand": ("thormang_isaacgym_tpu.tasks.shadow_hand", "ShadowHand"),
+    "AllegroHand": ("thormang_isaacgym_tpu.tasks.allegro_hand", "AllegroHand"),
 }
 
 
@@ -32,18 +34,70 @@ def get_task_class(name: str):
     return getattr(importlib.import_module(module), cls)
 
 
-def make(task_name: str, num_envs: int | None = None, seed: int = 42, **overrides):
+# reference env-block keys -> constructor kwargs (when present, these must
+# reach __init__ because they shape the model/obs space)
+_CTOR_KEYS = {
+    "observationType": "obs_type",
+    "asymmetric_observations": "asymmetric_obs",
+    "controlType": "control_type",
+}
+# reference env-block keys -> Task attribute names that don't follow plain
+# camelCase -> snake_case
+_ATTR_ALIASES = {
+    "episodeLength": "max_episode_length",
+    "clipObservations": "clip_obs",
+    "clipActions": "clip_actions",
+    "controlFrequencyInv": "control_freq_inv",
+}
+
+
+def _camel_to_snake(s: str) -> str:
+    import re
+    return re.sub(r"(?<!^)(?=[A-Z])", "_", s).lower()
+
+
+def apply_cfg_env(task, env_cfg: dict):
+    """Drive task attributes from a reference-shaped task YAML env block
+    (`cfg/task/<X>.yaml: env:`): every key maps to the camelCase->snake_case
+    attribute when the task defines it (distRewardScale -> dist_reward_scale,
+    ...), plus the alias table above. Unknown keys are ignored (they belong
+    to sim construction or are consumed by __init__)."""
+    for k, v in (env_cfg or {}).items():
+        if isinstance(v, dict):
+            continue
+        attr = _ATTR_ALIASES.get(k, _camel_to_snake(k))
+        if hasattr(task, attr) and not callable(getattr(task, attr)):
+            setattr(task, attr, v)
+    return task
+
+
+def make(task_name: str, num_envs: int | None = None, seed: int = 42,
+         cfg: dict | None = None, **overrides):
     """Instantiate a task and wrap it in a VecEnv.
 
     Parity with `isaacgymenvs.make` (`/root/reference/isaacgymenvs/__init__.py:14`).
+    `cfg` is a reference-shaped task config dict (cfg/task/<X>.yaml): its
+    env block drives task parameters; `task.randomize` switches DR on.
     """
     from thormang_isaacgym_tpu.engine.env import VecEnv
 
     cls = get_task_class(task_name)
     kwargs = dict(overrides)
+    env_cfg = (cfg or {}).get("env", {})
+    for ykey, ckey in _CTOR_KEYS.items():
+        if ykey in env_cfg and ckey not in kwargs:
+            kwargs[ckey] = env_cfg[ykey]
+    task_blk = (cfg or {}).get("task", {})
+    if isinstance(task_blk, dict) and "randomize" in task_blk \
+            and "randomize" not in kwargs:
+        kwargs["randomize"] = bool(task_blk["randomize"])
     if num_envs is not None:
         kwargs["num_envs"] = num_envs
+    elif "numEnvs" in env_cfg:
+        kwargs["num_envs"] = int(env_cfg["numEnvs"])
     task = cls(seed=seed, **kwargs)
+    if env_cfg:
+        apply_cfg_env(task, env_cfg)
     # tasks may provide a heightfield ground (AnymalTerrain)
     ground_fn = None
     if hasattr(task, "ground_height_fn"):

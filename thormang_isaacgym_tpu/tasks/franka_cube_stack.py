@@ -49,23 +49,16 @@ CUBE_B = 0.070
 
 
 def _cube_urdf(name, size, mass=0.1):
-    """Free cube with corner contact spheres (r size/10) so cube-on-cube
-    stacking works through the sphere-box pair kernel."""
-    h = size / 2
-    r = size / 10
+    """Free cube: a single box geom. Cube-on-cube stacking goes through the
+    box-box vertex narrowphase; finger pads grip it through sphere-box —
+    both with the implicit-normal contact solve (ops/collide.py)."""
     i = mass * size * size / 6
-    corners = "".join(
-        f"""
-    <collision name="{name}_c{k}"><origin xyz="{sx*(h-r)} {sy*(h-r)} {sz*(h-r)}"/>
-      <geometry><sphere radius="{r}"/></geometry></collision>"""
-        for k, (sx, sy, sz) in enumerate(
-            [(x, y, z) for x in (-1, 1) for y in (-1, 1) for z in (-1, 1)]))
     return f"""
 <robot name="{name}">
   <link name="{name}">
     <inertial><mass value="{mass}"/>
       <inertia ixx="{i:.6f}" iyy="{i:.6f}" izz="{i:.6f}" ixy="0" ixz="0" iyz="0"/></inertial>
-    <collision name="{name}_box"><geometry><box size="{size} {size} {size}"/></geometry></collision>{corners}
+    <collision name="{name}_box"><geometry><box size="{size} {size} {size}"/></geometry></collision>
   </link>
 </robot>"""
 

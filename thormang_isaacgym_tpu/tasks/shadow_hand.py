@@ -1,0 +1,405 @@
+"""ShadowHand cube-reorientation task.
+
+Parity with `/root/reference/isaacgymenvs/tasks/shadow_hand.py` +
+`cfg/task/ShadowHand.yaml`. A 24-DOF Shadow Hand (20 actuated, four
+tendon-coupled distal joints) holds a free cube palm-up and must spin it to
+a resampled goal orientation.
+
+Spec mapping (reference file:line):
+- hand: fixed base at (0,0,0.5), gravity off (:238-241,306); object block
+  spawns at hand + (0,-0.39,+0.10) (:308-312); goal pose = object init
+  - 0.04 z (:402-404), goal actor is visualization-only -> virtual here
+- actions (20): absolute position targets scale()d to actuated DOF limits
+  with moving average `actionsMovingAverage`, or relative mode
+  dofSpeedScale*dt deltas (:666-682)
+- obs modes openai/full_no_vel/full/full_state = 42/77/157/211 (:110-130,
+  :479-585); fingertip force-torque and DOF-force channels are the
+  force_torque_obs_scale=10, vel_obs_scale=0.2 scaled views (:62-63)
+- reward (compute_hand_reward :745-800): dist*-10 + 1/(|rot_dist|+0.1),
+  action^2 * -0.0002, +250 on success (rot_dist <= 0.1), fall at
+  goal_dist >= 0.24; goal resamples WITHOUT env reset (reset_target_pose
+  :587-610); successes / consecutive_successes EMA with av_factor 0.1
+- reset (:612-660): object xy/z noise 0.01, random rot (pi*rand about x
+  then y), hand DOF pos noise 0.2 toward limits
+- random object forces: forceScale/forceProbRange/forceDecay (:69-72,
+  :698-707) through the body-wrench path
+- DR block (`cfg/task/ShadowHand.yaml:65-190`): gravity + hand/object mass
+  scaling via the declarative dr_config
+
+The hand model itself is re-derived (asset absent): models/shadow_hand.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thormang_isaacgym_tpu.core import quat as Q
+from thormang_isaacgym_tpu.engine.env import Task
+from thormang_isaacgym_tpu.models import load_urdf
+from thormang_isaacgym_tpu.models.scene import compose
+from thormang_isaacgym_tpu.models.shadow_hand import (
+    ACTUATED_DOF_NAMES, FINGERTIP_BODIES, load_shadow_hand, make_block_urdf,
+)
+from thormang_isaacgym_tpu.ops.kinematics import forward_kinematics
+from thormang_isaacgym_tpu.ops.sim import Controls, SimParams
+
+HAND_POS = (0.0, 0.0, 0.5)
+OBJECT_START = (0.0, -0.39, 0.60)
+GOAL_POS = (0.0, -0.39, 0.56)
+
+NUM_OBS = {"openai": 42, "full_no_vel": 77, "full": 157, "full_state": 211}
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HandTaskState:
+    goal_rot: jnp.ndarray        # (B, 4) wxyz
+    successes: jnp.ndarray       # (B,)
+    cons_successes: jnp.ndarray  # (B,) replicated EMA scalar
+    prev_targets: jnp.ndarray    # (B, nj)
+    actions: jnp.ndarray         # (B, 20)
+    rb_force: jnp.ndarray        # (B, 3) decaying random object force
+    force_prob: jnp.ndarray      # (B,)
+
+
+def _rand_rot(k0, k1):
+    """randomize_rotation (:802-806): pi*rand about x then pi*rand about y."""
+    r0 = jax.random.uniform(k0, (), minval=-1.0, maxval=1.0)
+    r1 = jax.random.uniform(k1, (), minval=-1.0, maxval=1.0)
+    qx = Q.from_axis_angle(jnp.array([1.0, 0, 0]), r0 * jnp.pi)
+    qy = Q.from_axis_angle(jnp.array([0.0, 1.0, 0]), r1 * jnp.pi)
+    return Q.mul(qx, qy)
+
+
+def _unscale(x, lo, hi):
+    return (2.0 * x - (hi + lo)) / (hi - lo)
+
+
+def _scale(x, lo, hi):
+    return 0.5 * (x + 1.0) * (hi - lo) + lo
+
+
+class ShadowHand(Task):
+    """Cube reorientation (`isaacgym_task_map["ShadowHand"]`)."""
+
+    num_actions = 20
+    max_episode_length = 600
+    clip_obs = 5.0
+
+    # reward / task constants (ShadowHand.yaml:39-52)
+    dist_reward_scale = -10.0
+    rot_reward_scale = 1.0
+    rot_eps = 0.1
+    action_penalty_scale = -0.0002
+    success_tolerance = 0.1
+    reach_goal_bonus = 250.0
+    fall_dist = 0.24
+    fall_penalty = 0.0
+    max_consecutive_successes = 0
+    av_factor = 0.1
+    vel_obs_scale = 0.2
+    ft_obs_scale = 10.0
+    reset_position_noise = 0.01
+    reset_dof_pos_noise = 0.2
+    reset_dof_vel_noise = 0.0
+    use_relative_control = False
+    dof_speed_scale = 20.0
+    act_moving_average = 1.0
+
+    def __init__(self, num_envs: int = 16384, seed: int = 42,
+                 obs_type: str = "full_state", asymmetric_obs: bool = False,
+                 randomize: bool = False, force_scale: float = 0.0,
+                 hand_model=None, object_urdf: str | None = None, **_):
+        super().__init__(num_envs, seed)
+        assert obs_type in NUM_OBS, obs_type
+        self.obs_type = obs_type
+        self.num_obs = NUM_OBS[obs_type]
+        self.num_states = 211 if asymmetric_obs else 0
+        self.force_scale = force_scale
+        self.force_prob_range = (0.001, 0.1)
+        self.force_decay = 0.99
+        self.force_decay_interval = 0.08
+
+        hand = hand_model or load_shadow_hand()
+        block = load_urdf(object_urdf or make_block_urdf())
+        scene = compose([
+            (hand, HAND_POS + (1.0, 0.0, 0.0, 0.0), ""),
+            (block, OBJECT_START + (1.0, 0.0, 0.0, 0.0), "obj/"),
+        ], name="shadow_hand_scene")
+        self.model = scene
+        self.nj = scene.nj
+        self.act_ids = np.array([scene.dof_id(n) for n in ACTUATED_DOF_NAMES])
+        self.fingertip_ids = np.array(
+            [scene.body_id(b) for b in FINGERTIP_BODIES])
+        self.object_body = scene.body_id("obj/object")
+        d = scene._defaults
+        self.dof_lower = jnp.asarray(np.array(d["dof_lower"]))
+        self.dof_upper = jnp.asarray(np.array(d["dof_upper"]))
+        self.act_lower = self.dof_lower[self.act_ids]
+        self.act_upper = self.dof_upper[self.act_ids]
+        self.kp = jnp.asarray(np.array(d["drive_stiffness"]))
+        self.kd = jnp.asarray(np.array(d["drive_damping"]))
+        self.effort_lim = jnp.asarray(np.array(d["drive_effort_limit"]))
+        self.object_mass = float(np.asarray(d["body_mass"])[self.object_body])
+
+        # sim params (ShadowHand.yaml sim block: dt 0.01667, substeps 2)
+        self.sim_params = SimParams(
+            dt=1.0 / 60.0, substeps=2, gravity=(0.0, 0.0, -9.81),
+            contact_stiffness=5.0e4, contact_damping=200.0,
+            friction_vel=0.01, plane_friction=1.0,
+            max_depenetration_velocity=1.0)
+        self.dt = self.sim_params.dt
+
+        if randomize:
+            # ShadowHand.yaml:65-190 (the engine-supported subset: gravity,
+            # per-body mass scaling; obs/action noise via the task hooks)
+            self.dr_config = {
+                "frequency": 720,
+                "sim_params": {"gravity": {
+                    "range": [0.0, 0.4], "operation": "additive",
+                    "distribution": "gaussian"}},
+                "actor_params": {"hand": {"rigid_body_properties": {
+                    "mass": {"range": [0.5, 1.5], "operation": "scaling",
+                             "distribution": "uniform"}}}},
+            }
+
+        # object q block: hand is fixed -> object is the only floating root
+        self.qO = 0
+
+    # ------------------------------------------------------------------
+    def default_task_state(self, key):
+        B = self.num_envs
+        return HandTaskState(
+            goal_rot=jnp.tile(Q.identity()[None], (B, 1)),
+            successes=jnp.zeros(B),
+            cons_successes=jnp.zeros(B),
+            prev_targets=jnp.zeros((B, self.nj)),
+            actions=jnp.zeros((B, self.num_actions)),
+            rb_force=jnp.zeros((B, 3)),
+            force_prob=jnp.full((B,), 0.01),
+        )
+
+    # ------------------------------------------------------------------
+    def reset_fn(self, key, params, task):
+        ks = jax.random.split(key, 9)
+        # object pose: init + noise, random rotation (:618-637)
+        pos = jnp.asarray(OBJECT_START) + self.reset_position_noise \
+            * jax.random.uniform(ks[0], (3,), minval=-1.0, maxval=1.0)
+        obj_rot = _rand_rot(ks[1], ks[2])
+        goal_rot = _rand_rot(ks[3], ks[4])
+
+        # hand DOFs: 0 + noise*rand_delta toward limits (:648-652)
+        rand = jax.random.uniform(ks[5], (self.nj,), minval=-1.0, maxval=1.0)
+        delta_max = self.dof_upper
+        delta_min = self.dof_lower
+        rand_delta = delta_min + (delta_max - delta_min) * 0.5 * (rand + 1.0)
+        jq = jnp.clip(self.reset_dof_pos_noise * rand_delta,
+                      self.dof_lower, self.dof_upper)
+        jqd = self.reset_dof_vel_noise * jax.random.uniform(
+            ks[6], (self.nj,), minval=-1.0, maxval=1.0)
+
+        q = jnp.concatenate([pos, obj_rot, jq])
+        qd = jnp.concatenate([jnp.zeros(6), jqd])
+
+        # per-env random-force probability (loguniform, :693-696)
+        lo, hi = self.force_prob_range
+        u = jax.random.uniform(ks[7], ())
+        force_prob = jnp.exp((jnp.log(lo) - jnp.log(hi)) * u + jnp.log(hi))
+
+        task = HandTaskState(
+            goal_rot=goal_rot,
+            successes=jnp.zeros(()),
+            cons_successes=task.cons_successes,
+            prev_targets=jq,
+            actions=jnp.zeros(self.num_actions),
+            rb_force=jnp.zeros(3),
+            force_prob=force_prob,
+        )
+        return q, qd, params, task
+
+    # ------------------------------------------------------------------
+    def pre_physics(self, state, actions):
+        """Targets + random object forces (pre_physics_step :662-707)."""
+        B = actions.shape[0]
+        t = state.task
+        act = jnp.asarray(self.act_ids)
+        prev = t.prev_targets
+        if self.use_relative_control:
+            tgt_act = prev[:, act] + self.dof_speed_scale * self.dt * actions
+        else:
+            tgt_act = _scale(actions, self.act_lower, self.act_upper)
+            tgt_act = self.act_moving_average * tgt_act \
+                + (1.0 - self.act_moving_average) * prev[:, act]
+        tgt_act = jnp.clip(tgt_act, self.act_lower, self.act_upper)
+        targets = prev.at[:, act].set(tgt_act)
+
+        wrench = jnp.zeros((B, self.model.nb, 6))
+        rb_force = t.rb_force
+        if self.force_scale > 0.0:
+            k1, k2 = jax.random.split(jax.random.fold_in(state.key, 77))
+            decay = self.force_decay ** (self.dt / self.force_decay_interval)
+            rb_force = rb_force * decay
+            kick = (jax.random.uniform(k1, (B,)) < t.force_prob)
+            new_f = jax.random.normal(k2, (B, 3)) \
+                * self.object_mass * self.force_scale
+            rb_force = jnp.where(kick[:, None], new_f, rb_force)
+            wrench = wrench.at[:, self.object_body, 3:6].set(rb_force)
+
+        ctrl = Controls(targets, jnp.zeros((B, self.nj)),
+                        jnp.zeros((B, self.nj)))
+        return ctrl, wrench, dataclasses.replace(
+            t, prev_targets=targets, actions=actions, rb_force=rb_force)
+
+    # ------------------------------------------------------------------
+    def _object_state(self, state):
+        pos = state.q[:, 0:3]
+        rot = state.q[:, 3:7]
+        angvel = state.qd[:, 0:3]           # body frame
+        angvel = jax.vmap(Q.rotate)(rot, angvel)
+        linvel = state.qd[:, 3:6]
+        return pos, rot, linvel, angvel
+
+    def _fingertip_state(self, state):
+        frames = jax.vmap(lambda q, qd: forward_kinematics(self.model, q, qd))(
+            state.q, state.qd)
+        ft = jnp.asarray(self.fingertip_ids)
+        return (frames.pos[:, ft], frames.quat[:, ft],
+                frames.vel[:, ft], frames.omega[:, ft])
+
+    def _dof_force_estimate(self, state, task):
+        """DOF force sensor view: the implicit drive torque at the current
+        state (enable_actor_dof_force_sensors equivalent, :196)."""
+        nf7 = 7 * self.model.n_floating
+        nf6 = 6 * self.model.n_floating
+        jq = state.q[:, nf7:]
+        jqd = state.qd[:, nf6:]
+        tau = self.kp * (task.prev_targets - jq) - self.kd * jqd
+        return jnp.clip(tau, -self.effort_lim, self.effort_lim)
+
+    def _full_state(self, state, task):
+        """211-dim full_state layout (:531-585)."""
+        B = state.q.shape[0]
+        nf7 = 7 * self.model.n_floating
+        nf6 = 6 * self.model.n_floating
+        jq = state.q[:, nf7:]
+        jqd = state.qd[:, nf6:]
+        obj_pos, obj_rot, obj_lin, obj_ang = self._object_state(state)
+        fpos, fquat, fvel, fomega = self._fingertip_state(state)
+        ft_state = jnp.concatenate([
+            fpos, fquat, fvel, self.vel_obs_scale * fomega], axis=-1) \
+            .reshape(B, 65)
+        ft = jnp.asarray(self.fingertip_ids)
+        ft_force = state.net_contact[:, ft]                      # (B, 5, 3)
+        ft_ft = jnp.concatenate(
+            [ft_force, jnp.zeros_like(ft_force)], axis=-1).reshape(B, 30)
+        return jnp.concatenate([
+            _unscale(jq, self.dof_lower, self.dof_upper),
+            self.vel_obs_scale * jqd,
+            self.ft_obs_scale * self._dof_force_estimate(state, task),
+            obj_pos, obj_rot, obj_lin, self.vel_obs_scale * obj_ang,
+            jnp.asarray(GOAL_POS) * jnp.ones((B, 3)), task.goal_rot,
+            jax.vmap(Q.mul)(obj_rot, jax.vmap(Q.conj)(task.goal_rot)),
+            ft_state, self.ft_obs_scale * ft_ft,
+            task.actions,
+        ], axis=-1)
+
+    def compute_states(self, state, task_state):
+        return self._full_state(state, task_state)
+
+    def _observations(self, state, t, obj_pos, obj_rot, obj_lin, obj_ang,
+                      quat_diff):
+        B = state.q.shape[0]
+        nf7 = 7 * self.model.n_floating
+        nf6 = 6 * self.model.n_floating
+        jq = state.q[:, nf7:]
+        jqd = state.qd[:, nf6:]
+        goal_pos = jnp.asarray(GOAL_POS)
+        if self.obs_type == "openai":
+            fpos, _, _, _ = self._fingertip_state(state)
+            return jnp.concatenate([
+                fpos.reshape(B, 15), obj_pos, quat_diff, t.actions], axis=-1)
+        if self.obs_type == "full_no_vel":
+            fpos, _, _, _ = self._fingertip_state(state)
+            return jnp.concatenate([
+                _unscale(jq, self.dof_lower, self.dof_upper),
+                obj_pos, obj_rot,
+                goal_pos * jnp.ones((B, 3)), t.goal_rot, quat_diff,
+                fpos.reshape(B, 15), t.actions], axis=-1)
+        if self.obs_type == "full":
+            fpos, fquat, fvel, fomega = self._fingertip_state(state)
+            ft_state = jnp.concatenate([
+                fpos, fquat, fvel, self.vel_obs_scale * fomega],
+                axis=-1).reshape(B, -1)
+            return jnp.concatenate([
+                _unscale(jq, self.dof_lower, self.dof_upper),
+                self.vel_obs_scale * jqd,
+                obj_pos, obj_rot, obj_lin, self.vel_obs_scale * obj_ang,
+                goal_pos * jnp.ones((B, 3)), t.goal_rot, quat_diff,
+                ft_state, t.actions], axis=-1)
+        return self._full_state(state, t)
+
+    # ------------------------------------------------------------------
+    def post_physics(self, state, prev_task):
+        t = prev_task
+        B = state.q.shape[0]
+        obj_pos, obj_rot, obj_lin, obj_ang = self._object_state(state)
+        goal_pos = jnp.asarray(GOAL_POS)
+        quat_diff = jax.vmap(Q.mul)(obj_rot, jax.vmap(Q.conj)(t.goal_rot))
+
+        obs = self._observations(state, t, obj_pos, obj_rot, obj_lin,
+                                 obj_ang, quat_diff)
+
+        # ---- reward (compute_hand_reward :745-800) ----
+        goal_dist = jnp.linalg.norm(obj_pos - goal_pos, axis=-1)
+        rot_dist = 2.0 * jnp.arcsin(jnp.clip(
+            jnp.linalg.norm(quat_diff[:, 1:4], axis=-1), 0.0, 1.0))
+        dist_rew = goal_dist * self.dist_reward_scale
+        rot_rew = 1.0 / (jnp.abs(rot_dist) + self.rot_eps) * self.rot_reward_scale
+        action_penalty = jnp.sum(t.actions ** 2, axis=-1)
+        reward = dist_rew + rot_rew + action_penalty * self.action_penalty_scale
+
+        goal_reached = jnp.abs(rot_dist) <= self.success_tolerance
+        successes = t.successes + goal_reached
+        reward = jnp.where(goal_reached, reward + self.reach_goal_bonus, reward)
+
+        fell = goal_dist >= self.fall_dist
+        reward = jnp.where(fell, reward + self.fall_penalty, reward)
+        done = fell
+        if self.max_consecutive_successes > 0:
+            done = done | (successes >= self.max_consecutive_successes)
+            reward = jnp.where(state.progress >= self.max_episode_length - 1,
+                               reward + 0.5 * self.fall_penalty, reward)
+        done = done.astype(jnp.float32)
+
+        # goal resample on success WITHOUT env reset (reset_target_pose)
+        key = jax.random.fold_in(state.key, 303)
+        ks = jax.random.split(key, 2 * B).reshape(B, 2)
+
+        def resample(k2):
+            return _rand_rot(k2[0], k2[1])
+        new_goals = jax.vmap(resample)(ks)
+        goal_rot = jnp.where(goal_reached[:, None], new_goals, t.goal_rot)
+
+        # consecutive-success EMA across this step's resets (:788-797)
+        resets_all = jnp.maximum(
+            done, (state.progress >= self.max_episode_length - 1).astype(jnp.float32))
+        num_resets = jnp.sum(resets_all)
+        finished = jnp.sum(successes * resets_all)
+        cons = jnp.where(
+            num_resets > 0,
+            self.av_factor * finished / jnp.maximum(num_resets, 1.0)
+            + (1.0 - self.av_factor) * t.cons_successes,
+            t.cons_successes)
+
+        task = dataclasses.replace(
+            t, goal_rot=goal_rot, successes=successes, cons_successes=cons)
+
+        metrics = dict(state.metrics)
+        metrics["consecutive_successes"] = cons
+        metrics["successes"] = successes
+        metrics["rot_dist"] = rot_dist
+        metrics["goal_dist"] = goal_dist
+        return obs, reward, done, task, metrics
