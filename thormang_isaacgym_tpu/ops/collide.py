@@ -202,12 +202,34 @@ def _candidates(model: RobotModel, frames: BodyFrames):
             cp = c1 + n * (r1 - depth * 0.5)
             out.append((ia, ib, ba, bb, n, depth, cp))
         elif kind == "capbox":
-            # capsule (a) vs box (b): sphere tests at 3 points on the axis
+            # capsule (a) vs box (b): sphere tests at the two endpoints plus
+            # the TRUE closest point of the axis segment to the box, found by
+            # branch-free ternary search (distance from a point to a convex
+            # set is convex along a line, so the 1-D minimization is exact).
+            # Fixed-grid sampling is NOT enough: a 1.8 cm gripper pad closing
+            # on a 16 cm handle bar tunnels straight through unless a sample
+            # lands within the pad footprint.
             r1, h1 = ga.size
             half = jnp.asarray(gb.size)
             axis = Q.rotate(qa, jnp.array([0.0, 0, 1.0]))
-            for tpar in (-1.0, 0.0, 1.0):
-                center = pa + axis * (h1 * tpar)
+            p0 = Q.rotate_inv(qb, (pa - axis * h1) - pb)
+            p1 = Q.rotate_inv(qb, (pa + axis * h1) - pb)
+
+            def _seg_dist(t):
+                p = p0 + (p1 - p0) * t
+                return jnp.linalg.norm(p - jnp.clip(p, -half, half))
+
+            lo = jnp.float32(0.0)
+            hi = jnp.float32(1.0)
+            for _ in range(18):
+                m1 = lo + (hi - lo) * (1.0 / 3.0)
+                m2 = hi - (hi - lo) * (1.0 / 3.0)
+                left = _seg_dist(m1) < _seg_dist(m2)
+                lo = jnp.where(left, lo, m1)
+                hi = jnp.where(left, m2, hi)
+            t_opt = 0.5 * (lo + hi)
+            for tpar in (jnp.float32(0.0), t_opt, jnp.float32(1.0)):
+                center = pa + axis * (h1 * (2.0 * tpar - 1.0))
                 n, depth, cp = _sphere_box_point(center, r1, pb, qb, half)
                 out.append((ia, ib, ba, bb, n, depth, cp))
         elif kind == "boxbox":
