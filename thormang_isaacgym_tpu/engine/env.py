@@ -61,6 +61,9 @@ class EnvState:
     last_episode_return: jnp.ndarray  # (B,) return of the last finished episode
     task: Any                 # task-specific pytree (commands, buffers, ...)
     metrics: Any              # dict of (B,) episode accumulators
+    # correlated DR noise standard samples, redrawn at DR events
+    # (vec_task.py:612-620 `corr`); empty tuple when DR noise is off
+    dr_corr: Any = ()
 
 
 class Task:
@@ -169,14 +172,36 @@ class VecEnv:
         self.num_actions = task.num_actions
         # domain randomization (task.dr_config follows the reference's
         # randomization_params schema; see engine/dr.py)
-        from thormang_isaacgym_tpu.engine.dr import make_dr_fn
+        from thormang_isaacgym_tpu.engine.dr import make_dr_fn, make_noise_fn
         dr_cfg = task.dr_config or {}
-        self._dr_fn, self._dr_active = make_dr_fn(dr_cfg)
+        self._dr_fn, self._dr_active = make_dr_fn(dr_cfg, task.model)
         self._dr_freq = int(dr_cfg.get("frequency", 600))
+        self._obs_noise_fn = make_noise_fn(dr_cfg.get("observations"))
+        self._act_noise_fn = make_noise_fn(dr_cfg.get("actions"))
+        self._dr_any = (self._dr_active or self._obs_noise_fn is not None
+                        or self._act_noise_fn is not None)
         self._step = jax.jit(self.step_fn, donate_argnums=(0,))
         self._reset = jax.jit(self.init_fn)
 
     # ------------------------------------------------------------------
+    def _draw_corr(self, key, B):
+        """Standard correlated-noise samples per env (redrawn at DR events,
+        engine/dr.py docstring). Dict keyed 'obs'/'act'; () when unused."""
+        task = self.task
+        out = {}
+        cfg = task.dr_config or {}
+        for name, fn, dim in (("obs", self._obs_noise_fn, task.num_obs),
+                              ("act", self._act_noise_fn, task.num_actions)):
+            spec = cfg.get({"obs": "observations", "act": "actions"}[name])
+            if fn is None or not spec or "range_correlated" not in spec:
+                continue
+            k = jax.random.fold_in(key, hash(name) % 1000)
+            if spec.get("distribution", "uniform") in ("gaussian", "normal"):
+                out[name] = jax.random.normal(k, (B, dim))
+            else:
+                out[name] = jax.random.uniform(k, (B, dim))
+        return out if out else ()
+
     def init_fn(self, key) -> EnvState:
         task = self.task
         B = task.num_envs
@@ -188,7 +213,9 @@ class VecEnv:
         q, qd, params, task_state = jax.vmap(task.reset_fn)(keys, params0, task_state)
         if self._dr_active:
             base = task.model.default_params().batch(B)
-            params = jax.vmap(self._dr_fn)(keys, params, base)
+            params = jax.vmap(
+                lambda k, p, b: self._dr_fn(k, p, b, 0, setup=True)
+            )(keys, params, base)
         state = EnvState(
             q=q, qd=qd, params=params,
             obs=jnp.zeros((B, task.num_obs)),
@@ -206,6 +233,7 @@ class VecEnv:
             last_episode_return=jnp.zeros(B),
             task=task_state,
             metrics={},
+            dr_corr=self._draw_corr(jax.random.fold_in(key, 31), B),
         )
         # populate initial obs (+ privileged states)
         obs, _, _, task_state, metrics = task.post_physics(state, task_state)
@@ -243,23 +271,35 @@ class VecEnv:
         last_rand = state.last_rand
 
         # frequency-gated DR on reset (vec_task.py:547-566)
-        if self._dr_active:
+        dr_corr = state.dr_corr
+        if self._dr_any:
             due = do_reset & (state.global_step - state.last_rand >= self._dr_freq)
-            base = task.model.default_params().batch(B)
-            dr_keys = _env_keys(jax.random.fold_in(key, 23), episode, 29)
-            params_dr = jax.vmap(self._dr_fn)(dr_keys, params, base)
-            params = mask_select_with(due, params_dr, params, B)
+            if self._dr_active:
+                base = task.model.default_params().batch(B)
+                dr_keys = _env_keys(jax.random.fold_in(key, 23), episode, 29)
+                gs = state.global_step
+                params_dr = jax.vmap(
+                    lambda k, p, b: self._dr_fn(k, p, b, gs, setup=False)
+                )(dr_keys, params, base)
+                params = mask_select_with(due, params_dr, params, B)
+            if dr_corr:
+                fresh = self._draw_corr(jax.random.fold_in(key, 37), B)
+                dr_corr = mask_select_with(due, fresh, dr_corr, B)
             last_rand = jnp.where(due, state.global_step, state.last_rand)
 
         episode_return = jnp.where(do_reset, 0.0, state.episode_return)
         state = dataclasses.replace(
             state, q=q, qd=qd, params=params, task=task_state,
             progress=progress, episode=episode, last_rand=last_rand,
-            episode_return=episode_return,
+            episode_return=episode_return, dr_corr=dr_corr,
             global_step=state.global_step + 1)
 
         # ---- 2. action noise + clip (vec_task.py:324-327) ----
         actions = task.action_noise(jax.random.fold_in(key, 2), actions)
+        if self._act_noise_fn is not None:
+            corr = dr_corr.get("act") if dr_corr else None
+            actions = self._act_noise_fn(jax.random.fold_in(key, 5), actions,
+                                         corr, state.global_step)
         actions = jnp.clip(actions, -task.clip_actions, task.clip_actions)
 
         # ---- 3. pre-physics + physics ----
@@ -279,6 +319,10 @@ class VecEnv:
 
         # ---- 5. obs noise + clip (vec_task.py:353-357) ----
         obs = task.observation_noise(jax.random.fold_in(key, 3), obs, task_state)
+        if self._obs_noise_fn is not None:
+            corr = dr_corr.get("obs") if dr_corr else None
+            obs = self._obs_noise_fn(jax.random.fold_in(key, 7), obs,
+                                     corr, state.global_step)
         obs = jnp.clip(obs, -task.clip_obs, task.clip_obs)
         states = task.compute_states(
             dataclasses.replace(state, task=task_state), task_state) \

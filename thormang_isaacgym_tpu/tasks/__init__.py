@@ -56,18 +56,33 @@ def _camel_to_snake(s: str) -> str:
     return re.sub(r"(?<!^)(?=[A-Z])", "_", s).lower()
 
 
-def apply_cfg_env(task, env_cfg: dict):
+# env-block keys legitimately consumed elsewhere (constructor, engine, sim
+# construction) — not attribute targets, so no drift warning for them
+_CONSUMED_KEYS = {
+    "numEnvs", "numObservations", "numStates", "numActions", "envSpacing",
+    "observationType", "asymmetric_observations", "controlType",
+    "enableDebugVis", "enableCameraSensors", "aggregateMode", "physics_engine",
+}
+
+
+def apply_cfg_env(task, env_cfg: dict, *, warn_unknown: bool = True):
     """Drive task attributes from a reference-shaped task YAML env block
     (`cfg/task/<X>.yaml: env:`): every key maps to the camelCase->snake_case
     attribute when the task defines it (distRewardScale -> dist_reward_scale,
-    ...), plus the alias table above. Unknown keys are ignored (they belong
-    to sim construction or are consumed by __init__)."""
+    ...), plus the alias table above. Keys that match nothing are WARNED
+    about (config drift is otherwise invisible — a typo'd YAML key silently
+    no-ops)."""
+    import warnings
     for k, v in (env_cfg or {}).items():
-        if isinstance(v, dict):
+        if isinstance(v, dict) or k in _CONSUMED_KEYS:
             continue
         attr = _ATTR_ALIASES.get(k, _camel_to_snake(k))
         if hasattr(task, attr) and not callable(getattr(task, attr)):
             setattr(task, attr, v)
+        elif warn_unknown:
+            warnings.warn(
+                f"task config key {k!r} (-> {attr!r}) matches no attribute "
+                f"of {type(task).__name__}; ignored", stacklevel=2)
     return task
 
 
@@ -98,6 +113,12 @@ def make(task_name: str, num_envs: int | None = None, seed: int = 42,
     task = cls(seed=seed, **kwargs)
     if env_cfg:
         apply_cfg_env(task, env_cfg)
+    # YAML randomization_params drive the DR engine end-to-end (the
+    # reference schema, vec_task.py:496-768); overrides any hand-rolled
+    # task dr_config subset
+    if isinstance(task_blk, dict) and task_blk.get("randomize") \
+            and isinstance(task_blk.get("randomization_params"), dict):
+        task.dr_config = task_blk["randomization_params"]
     # tasks may provide a heightfield ground (AnymalTerrain)
     ground_fn = None
     if hasattr(task, "ground_height_fn"):

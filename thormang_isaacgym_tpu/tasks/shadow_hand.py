@@ -154,17 +154,16 @@ class ShadowHand(Task):
         self.dt = self.sim_params.dt
 
         if randomize:
-            # ShadowHand.yaml:65-190 (the engine-supported subset: gravity,
-            # per-body mass scaling; obs/action noise via the task hooks)
-            self.dr_config = {
-                "frequency": 720,
-                "sim_params": {"gravity": {
-                    "range": [0.0, 0.4], "operation": "additive",
-                    "distribution": "gaussian"}},
-                "actor_params": {"hand": {"rigid_body_properties": {
-                    "mass": {"range": [0.5, 1.5], "operation": "scaling",
-                             "distribution": "uniform"}}}},
-            }
+            # the FULL transcribed reference DR tree (ShadowHand.yaml:65-190:
+            # obs/action correlated noise, gravity, tendon/dof/body/shape
+            # blocks, friction buckets, setup_only mass, object scale) drives
+            # the engine end-to-end (engine/dr.py parses every block)
+            import os
+            import yaml
+            cfg_path = os.path.join(os.path.dirname(__file__), "..", "..",
+                                    "cfg", "task", "ShadowHand.yaml")
+            with open(cfg_path) as f:
+                self.dr_config = yaml.safe_load(f)["task"]["randomization_params"]
 
         # object q block: hand is fixed -> object is the only floating root
         self.qO = 0
