@@ -118,13 +118,13 @@ def make_franka_urdf() -> str:
   <joint name="panda_finger_joint1" type="prismatic">
     <parent link="panda_hand"/><child link="panda_leftfinger"/>
     <origin xyz="0 0 0.0584"/><axis xyz="0 1 0"/>
-    <limit lower="0.0" upper="0.04" effort="10" velocity="0.2"/>
+    <limit lower="0.0" upper="0.04" effort="20" velocity="0.2"/>
   </joint>{_link("panda_leftfinger", (0, 0.01, 0.03),
                  finger_col.format(n="panda_leftfinger", iy=-0.006))}
   <joint name="panda_finger_joint2" type="prismatic">
     <parent link="panda_hand"/><child link="panda_rightfinger"/>
     <origin xyz="0 0 0.0584"/><axis xyz="0 -1 0"/>
-    <limit lower="0.0" upper="0.04" effort="10" velocity="0.2"/>
+    <limit lower="0.0" upper="0.04" effort="20" velocity="0.2"/>
   </joint>{_link("panda_rightfinger", (0, -0.01, 0.03),
                  finger_col.format(n="panda_rightfinger", iy=0.006))}""")
     return "<robot name=\"franka_panda\">" + "".join(parts) + "\n</robot>"

@@ -14,7 +14,10 @@ IsaacGym-style geom counts.
 Narrowphase (static candidate counts per pair):
   sphere  vs sphere/capsule/box/cylinder  -> 1 point
   capsule vs capsule                      -> 1 point (segment-segment)
-  box     vs capsule                      -> 3 points (spheres at t=0,.5,1)
+  box     vs capsule                      -> 4 points (spheres at the two
+            endpoints, the axis midpoint, and the closest axis point found
+            by ternary search — the latter masked off when it coincides
+            with an endpoint, which would double-count stiffness)
   box     vs box                          -> 16 points (8 vertices each way)
 
 Contact model — backward-Euler IMPLICIT normal, the same mechanism that
@@ -26,9 +29,10 @@ INERTIA  dIA = h*(h*kn + kd) * u u^T  (u = [r x n; n] in the link frame)
 on each contacted body, so arbitrary contact stiffness cannot blow up —
 which is what lets a position-driven gripper (implicit drive, Kp 1e6) be
 STOPPED by a 0.1 kg object instead of crushing through the old explicitly-
-clamped penalty spring. Friction stays explicit (regularized Coulomb with
-a true-stiction impulse cap), evaluated against the implicit normal-force
-estimate.
+clamped penalty spring. Friction is an implicit regularized-Coulomb damper
+(coefficient mu*fn/max(|vt|, friction_vel), cone-bounded) whose velocity
+reaction also joins the added inertia along the two tangent directions —
+true stiction that cannot reverse the slip velocity at any stiffness.
 """
 from __future__ import annotations
 
@@ -46,14 +50,6 @@ _SPHERE_FIRST = {
     (GEOM_SPHERE, GEOM_SPHERE), (GEOM_SPHERE, GEOM_CAPSULE),
     (GEOM_SPHERE, GEOM_BOX), (GEOM_SPHERE, GEOM_CYLINDER),
 }
-
-
-def _free_body_flags(model: RobotModel) -> np.ndarray:
-    """(nb,) 1.0 where the body's actor root is floating (free to fall)."""
-    flags = model.roots_floating
-    actors = model.actors
-    return np.array([1.0 if flags[actors[b]] else 0.0
-                     for b in range(model.nb)], np.float32)
 
 
 def _pairs(model: RobotModel):
@@ -228,46 +224,144 @@ def _candidates(model: RobotModel, frames: BodyFrames):
                 lo = jnp.where(left, lo, m1)
                 hi = jnp.where(left, m2, hi)
             t_opt = 0.5 * (lo + hi)
-            for tpar in (jnp.float32(0.0), t_opt, jnp.float32(1.0)):
+            # mask the t_opt sample when it converges onto an endpoint (the
+            # common fingertip-on-face case): two coincident active spheres
+            # would double the effective normal stiffness at that point.
+            eps = 0.02
+            interior = ((t_opt > eps) & (t_opt < 1.0 - eps)
+                        & (jnp.abs(t_opt - 0.5) > eps)).astype(jnp.float32)
+            # midpoint sample guards the axis-through-box case where
+            # _seg_dist is zero on an interval and the ternary search lands
+            # on the zero-set edge (depth ~r instead of deepest penetration)
+            for tpar, msk in ((jnp.float32(0.0), None), (t_opt, interior),
+                              (jnp.float32(0.5), None), (jnp.float32(1.0), None)):
                 center = pa + axis * (h1 * (2.0 * tpar - 1.0))
                 n, depth, cp = _sphere_box_point(center, r1, pb, qb, half)
+                if msk is not None:
+                    depth = jnp.where(msk > 0, depth, -1.0)
                 out.append((ia, ib, ba, bb, n, depth, cp))
         elif kind == "boxbox":
-            half_a = np.array(ga.size, np.float32)
-            half_b = jnp.asarray(gb.size)
-            corners_a = np.array([[sx * half_a[0], sy * half_a[1], sz * half_a[2]]
-                                  for sx in (-1, 1) for sy in (-1, 1)
-                                  for sz in (-1, 1)], np.float32)
-            # vertices of A inside B (normal from B face, pointing a->b is
-            # the INWARD face normal of B at the vertex)
-            for vtx in corners_a:
-                pv = pa + Q.rotate(qa, jnp.asarray(vtx))
-                local = Q.rotate_inv(qb, pv - pb)
-                face_gap = half_b - jnp.abs(local)
-                inside = jnp.all(face_gap > 0)
-                k = jnp.argmin(face_gap)
-                onehot = (jnp.arange(3) == k).astype(jnp.float32)
-                out_local = jnp.sign(local) * onehot     # outward from B
-                depth = jnp.where(inside, face_gap[k], -1.0)
-                n = -Q.rotate(qb, out_local)             # a -> b
-                out.append((ia, ib, ba, bb, n, depth, pv))
-            half_a_j = jnp.asarray(ga.size)
-            corners_b = np.array([[sx * float(gb.size[0]), sy * float(gb.size[1]),
-                                   sz * float(gb.size[2])]
-                                  for sx in (-1, 1) for sy in (-1, 1)
-                                  for sz in (-1, 1)], np.float32)
-            for vtx in corners_b:
-                pv = pb + Q.rotate(qb, jnp.asarray(vtx))
-                local = Q.rotate_inv(qa, pv - pa)
-                face_gap = half_a_j - jnp.abs(local)
-                inside = jnp.all(face_gap > 0)
-                k = jnp.argmin(face_gap)
-                onehot = (jnp.arange(3) == k).astype(jnp.float32)
-                out_local = jnp.sign(local) * onehot     # outward from A
-                depth = jnp.where(inside, face_gap[k], -1.0)
-                n = Q.rotate(qa, out_local)              # a -> b
-                out.append((ia, ib, ba, bb, n, depth, pv))
+            out.extend(_box_box_candidates(
+                ia, ib, ba, bb, pa, qa, jnp.asarray(np.array(ga.size, np.float32)),
+                pb, qb, jnp.asarray(np.array(gb.size, np.float32))))
     return out
+
+
+def _box_box_candidates(ia, ib, ba, bb, pa, qa, half_a, pb, qb, half_b):
+    """Box-box manifold: 16 vertex contacts sharing the PAIR-LEVEL SAT face
+    normal + 1 edge-cross contact.
+
+    The normal is the minimum-overlap FACE axis of the pair, not a
+    per-vertex argmin: per-vertex face selection flips the normal when a
+    vertex nears an edge of the other box (e.g. a gripper pad's top vertex
+    reaching a sagging cube's top face turned a +-y pinch grip into a
+    downward push that ejected the cube). One shared axis keeps the whole
+    manifold consistent — the reference behavior is PhysX's reference-face
+    contact gen (`franka_cube_stack.py:560-600` grasp physics)."""
+    Ra = Q.to_matrix(qa)
+    Rb = Q.to_matrix(qb)
+    A_axes = Ra.T                         # rows = world directions of A's axes
+    B_axes = Rb.T
+    d = pb - pa
+
+    def h_of(axes, half, L):
+        return jnp.abs(axes @ L) @ half if L.ndim == 1 else None
+
+    # 6 face axes: min-overlap axis shared by every vertex contact
+    axes6 = jnp.concatenate([A_axes, B_axes])            # (6,3)
+    hA6 = jnp.abs(axes6 @ A_axes.T) @ half_a             # (6,)
+    hB6 = jnp.abs(axes6 @ B_axes.T) @ half_b
+    overlap6 = hA6 + hB6 - jnp.abs(axes6 @ d)
+    kf = jnp.argmin(overlap6)
+    n_raw = axes6[kf]
+    n = n_raw * jnp.sign(jnp.dot(n_raw, d) + 1e-12)      # a -> b
+    hB_n = jnp.abs(B_axes @ n) @ half_b
+    hA_n = jnp.abs(A_axes @ n) @ half_a
+
+    out = []
+    corners = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1)
+               for sz in (-1, 1)]
+    for (sx, sy, sz) in corners:
+        # vertex of A inside B: depth = distance past B's near face along n
+        vtx = jnp.asarray([sx, sy, sz]) * half_a
+        pv = pa + Q.rotate(qa, vtx)
+        local = Q.rotate_inv(qb, pv - pb)
+        inside = jnp.all(half_b - jnp.abs(local) > 0)
+        depth = jnp.where(inside, jnp.dot(pv - pb, n) + hB_n, -1.0)
+        out.append((ia, ib, ba, bb, n, depth, pv))
+    for (sx, sy, sz) in corners:
+        # vertex of B inside A: depth = distance short of A's far face
+        vtx = jnp.asarray([sx, sy, sz]) * half_b
+        pv = pb + Q.rotate(qb, vtx)
+        local = Q.rotate_inv(qa, pv - pa)
+        inside = jnp.all(half_a - jnp.abs(local) > 0)
+        depth = jnp.where(inside, hA_n - jnp.dot(pv - pa, n), -1.0)
+        out.append((ia, ib, ba, bb, n, depth, pv))
+    # SAT edge-edge term: boxes meeting edge-to-edge (nut-on-bolt,
+    # cube-corner stacking — the Factory workloads) produce no
+    # vertex-in-face contact until a vertex penetrates; the minimum-overlap
+    # edge-cross axis supplies the missing point (active only when the
+    # boxes overlap on ALL 15 axes and an edge axis beats every face axis).
+    out.append(_box_box_edge_candidate(ia, ib, ba, bb, pa, qa, half_a,
+                                       pb, qb, half_b))
+    return out
+
+
+def _box_box_edge_candidate(ia, ib, ba, bb, pa, qa, half_a, pb, qb, half_b):
+    """Single deepest edge-cross SAT contact for a box-box pair.
+
+    Returns (ia, ib, ba, bb, n (a->b), depth, cp) with depth < 0 when no
+    edge-type contact applies."""
+    Ra = Q.to_matrix(qa)                  # columns = A's axes in world
+    Rb = Q.to_matrix(qb)
+    d = pb - pa
+    A_axes = Ra.T                         # (3,3) rows = world axes of A
+    B_axes = Rb.T
+    # 9 cross axes a_i x b_j
+    cross = jnp.cross(A_axes[:, None, :], B_axes[None, :, :])  # (3,3,3)
+    cross = cross.reshape(9, 3)
+    norm = jnp.linalg.norm(cross, axis=-1)
+    degenerate = norm < 1e-6              # parallel edges
+    L = cross / jnp.maximum(norm, 1e-6)[:, None]
+    proj_a = jnp.abs(L @ A_axes.T) @ half_a          # (9,)
+    proj_b = jnp.abs(L @ B_axes.T) @ half_b
+    sep = jnp.abs(L @ d)
+    overlap_e = jnp.where(degenerate, jnp.inf, proj_a + proj_b - sep)  # (9,)
+    # 6 face axes overlap (for the all-axes-overlap test + face priority)
+    def face_overlap(axes):
+        pa_ = jnp.abs(axes @ A_axes.T) @ half_a
+        pb_ = jnp.abs(axes @ B_axes.T) @ half_b
+        return pa_ + pb_ - jnp.abs(axes @ d)
+    overlap_f = jnp.concatenate([face_overlap(A_axes), face_overlap(B_axes)])
+    all_overlap = jnp.all(overlap_e > 0) & jnp.all(overlap_f > 0)
+    k = jnp.argmin(overlap_e)
+    depth = overlap_e[k]
+    n = L[k] * jnp.sign(jnp.dot(L[k], d))            # a -> b
+    active = all_overlap & (depth < jnp.min(overlap_f) * 0.99)
+    # support edges: edge of A parallel to a_i most along +n, edge of B
+    # parallel to b_j most along -n
+    i_, j_ = k // 3, k % 3
+    sa = jnp.sign(A_axes @ n)
+    sb = jnp.sign(B_axes @ n)
+    onehot_i = (jnp.arange(3) == i_).astype(jnp.float32)
+    onehot_j = (jnp.arange(3) == j_).astype(jnp.float32)
+    ca = pa + ((1.0 - onehot_i) * sa * half_a) @ A_axes
+    cb = pb - ((1.0 - onehot_j) * sb * half_b) @ B_axes
+    ea = A_axes[i_]                                   # edge directions
+    eb = B_axes[j_]
+    # closest points of the two edge LINES: ca + s ea, cb + t eb
+    r0 = cb - ca
+    b_ = jnp.dot(ea, eb)
+    denom = jnp.maximum(1.0 - b_ * b_, 1e-6)
+    s = (jnp.dot(ea, r0) - b_ * jnp.dot(eb, r0)) / denom
+    t = (b_ * jnp.dot(ea, r0) - jnp.dot(eb, r0)) / denom
+    ha_k = jnp.sum(onehot_i * half_a)
+    hb_k = jnp.sum(onehot_j * half_b)
+    s = jnp.clip(s, -ha_k, ha_k)
+    t = jnp.clip(t, -hb_k, hb_k)
+    cp = 0.5 * (ca + s * ea + cb + t * eb)
+    depth = jnp.where(active, depth, -1.0)
+    return (ia, ib, ba, bb, n, depth, cp)
 
 
 def pairwise_contact_forces(model: RobotModel, params: ModelParams,
@@ -292,24 +386,16 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
         return z6, jnp.zeros((nb, 6, 6)), jnp.zeros((nb, 3))
 
     h = dt
-    free = _free_body_flags(model)
     kn_cfg = float(stiffness)
     kd_cfg = float(damping)
-
-    # count active contacts per body (shared stiction budget)
-    act_list = [(d > 0).astype(jnp.float32) for (_, _, _, _, _, d, _) in cands]
-    rows_all = np.zeros((nb, len(cands)), np.float32)
-    for k_i, (_, _, ba, bb, *_rest) in enumerate(cands):
-        rows_all[ba, k_i] = 1.0
-        rows_all[bb, k_i] = 1.0
-    n_active_body = jnp.asarray(rows_all) @ jnp.stack(act_list)   # (nb,)
 
     rows_a = np.zeros((nb, len(cands)), np.float32)
     rows_b = np.zeros((nb, len(cands)), np.float32)
     fcols, tacols, tbcols = [], [], []
-    u_cols = []          # (2 per contact) implicit-damper u vectors, link frame
-    u_body_rows = np.zeros((nb, 2 * len(cands)), np.float32)
-    u_mass = []
+    # implicit-damper u vectors, link frame: per contact, per touched body,
+    # 3 directions (normal + 2 tangents — tangent damping IS the stiction)
+    u_cols = []
+    u_body_rows = np.zeros((nb, 6 * len(cands)), np.float32)
 
     for k_i, (ia, ib, ba, bb, n, depth, cp) in enumerate(cands):
         active = depth > 0
@@ -345,23 +431,23 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
             jnp.inf)
         fn_exp = jnp.minimum(fn, cap)
 
-        # ---- friction (explicit, true stiction) ----
+        # ---- friction: IMPLICIT regularized Coulomb (true stiction) ----
+        # A viscous damper with Coulomb-cone-bounded coefficient
+        #   c_t = mu*fn / max(|vt|, friction_vel)
+        # so the realized force is exactly mu*fn when slipping and a very
+        # stiff tangential damper (slope mu*fn/friction_vel) in the stick
+        # zone. The explicit part -c_t*vt(t) is bounded by mu*fn by
+        # construction; the reaction to the NEW velocity joins the ABA as
+        # tangent-direction added inertia below, so the stiff stick damper
+        # cannot reverse the velocity (the classic explicit-friction
+        # instability) no matter the load — a gripper holds its payload at
+        # creep velocity ~ friction_vel * m g / (mu fn) instead of slipping
+        # through a per-step force cap.
         vt = vrel - vn * n
+        vt_norm = jnp.linalg.norm(vt)
         mu = jnp.sqrt(params.geom_friction[ia] * params.geom_friction[ib])
-        g_vec = params.gravity
-        g_t = g_vec - jnp.dot(g_vec, n) * n
-        kick = float(free[bb] - free[ba])
-        vt_pred = vt + h * g_t * kick
-        vtp_norm = jnp.linalg.norm(vt_pred) + 1e-9
-        if kick != 0.0:
-            loaded = bb if kick > 0 else ba
-            w_grav = params.body_mass[loaded] * jnp.linalg.norm(g_t) \
-                / jnp.maximum(n_active_body[loaded], 1.0)
-        else:
-            w_grav = 0.0
-        ft_mag = jnp.minimum(mu * fn,
-                             m_red * jnp.linalg.norm(vt) / h + w_grav)
-        ft = -ft_mag * (vt_pred / vtp_norm) * active
+        c_t = mu * fn_exp / jnp.maximum(vt_norm, friction_vel)
+        ft = -c_t * vt * active
 
         f_on_b = fn_exp * n + ft
         rows_a[ba, k_i] = 1.0
@@ -373,13 +459,23 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
         # ---- implicit velocity reaction as added inertia ----
         # gate: active and not separating fast (no suction on breakaway)
         gate = (active & (vn < 0.5 * max_depenetration_velocity)).astype(jnp.float32)
-        M_add = h * (h * kn_cfg + kd_cfg) * gate
-        for (body, sign) in ((ba, 1.0), (bb, 1.0)):
+        M_add_n = h * D_imp * gate
+        M_add_t = h * c_t * active.astype(jnp.float32)
+        # tangent basis (any orthonormal pair perpendicular to n: damping is
+        # isotropic in the tangent plane)
+        ref = jnp.where(jnp.abs(n[0]) < 0.9,
+                        jnp.asarray([1.0, 0.0, 0.0]),
+                        jnp.asarray([0.0, 1.0, 0.0]))
+        t1 = jnp.cross(n, ref)
+        t1 = t1 / (jnp.linalg.norm(t1) + 1e-9)
+        t2 = jnp.cross(n, t1)
+        for body in (ba, bb):
             r_l = Q.rotate_inv(frames.quat[body], cp - frames.pos[body])
-            n_l = Q.rotate_inv(frames.quat[body], n)
-            u = jnp.concatenate([jnp.cross(r_l, n_l), n_l])
-            u_cols.append(u * jnp.sqrt(M_add))
-            u_body_rows[body, len(u_cols) - 1] = 1.0
+            for vec, M_add in ((n, M_add_n), (t1, M_add_t), (t2, M_add_t)):
+                v_l = Q.rotate_inv(frames.quat[body], vec)
+                u = jnp.concatenate([jnp.cross(r_l, v_l), v_l])
+                u_cols.append(u * jnp.sqrt(M_add))
+                u_body_rows[body, len(u_cols) - 1] = 1.0
 
     F_a = jnp.stack(fcols)
     T_a = jnp.stack(tacols)
@@ -393,8 +489,8 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
     net = A @ F_a + Bm @ (-F_a)
 
     # dIA: sum of (sqrt(M) u)(sqrt(M) u)^T per body
-    U = jnp.stack(u_cols)                       # (2P, 6)
+    U = jnp.stack(u_cols)                       # (6P, 6)
     sel = jnp.asarray(u_body_rows)              # (nb, 2P)
-    outer = U[:, :, None] * U[:, None, :]       # (2P, 6, 6)
+    outer = U[:, :, None] * U[:, None, :]       # (6P, 6, 6)
     dIA = jnp.einsum("bp,pij->bij", sel, outer)
     return f_ext, dIA, net
