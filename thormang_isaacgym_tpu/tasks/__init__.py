@@ -24,6 +24,12 @@ TASK_MAP = {
     "Quadcopter": ("thormang_isaacgym_tpu.tasks.quadcopter", "Quadcopter"),
     "ShadowHand": ("thormang_isaacgym_tpu.tasks.shadow_hand", "ShadowHand"),
     "AllegroHand": ("thormang_isaacgym_tpu.tasks.allegro_hand", "AllegroHand"),
+    "FactoryTaskNutBoltPick": ("thormang_isaacgym_tpu.tasks.factory",
+                               "FactoryTaskNutBoltPick"),
+    "FactoryTaskNutBoltPlace": ("thormang_isaacgym_tpu.tasks.factory",
+                                "FactoryTaskNutBoltPlace"),
+    "FactoryTaskNutBoltScrew": ("thormang_isaacgym_tpu.tasks.factory",
+                                "FactoryTaskNutBoltScrew"),
 }
 
 

@@ -1,0 +1,501 @@
+"""Factory contact-rich manipulation suite: nut-bolt Pick / Place / Screw.
+
+Parity with `/root/reference/isaacgymenvs/tasks/factory/`:
+- `factory_base.py` — Franka + table scene (:107-161), controller spec
+  (:273-417 via ops/control.parse_controller_spec), action->target mapping
+  (`_apply_actions_as_ctrl_targets`, factory_task_nut_bolt_pick.py:221-266)
+- `factory_env_nut_bolt.py` — nut + bolt scene; the reference's SDF mesh
+  pairs become primitive manifolds: the nut is a 4-wall square annulus of
+  boxes, the bolt a square shaft + head, so pad-nut grasping and
+  nut-on-shaft insertion resolve through the box-box SAT narrowphase
+  (face manifold + edge-edge term, ops/collide.py)
+- `factory_task_nut_bolt_pick.py` — obs 20 (:157-168), keypoint reward
+  (:186-204, `_get_keypoint_offsets` :334), success = nut lifted
+- `factory_task_nut_bolt_place.py` — obs 27, keypoint reward toward the
+  bolt-top frame
+- `factory_task_nut_bolt_screw.py` — obs 32 (+finger forces); the THREAD
+  is TPU-native: instead of SDF thread-mesh contact, the nut rides a
+  revolute(z) + prismatic(z) chain on the bolt with a fixed tendon
+  enforcing z = -pitch/(2*pi) * theta — a thread IS that constraint — and
+  thread friction is the revolute DOF's dry friction.
+
+Known simplifications (documented, spec-cited):
+- bolt base pose is static per scene (the reference randomizes bolt xy per
+  env through per-env actor placement, FactoryTaskNutBoltPick.yaml:34);
+  nut spawn noise is kept.
+- the scripted close_and_lift evaluation phase at episode end
+  (factory_task_nut_bolt_pick.py:145-152) runs in tests, not inside the
+  jitted step; the learning signal (keypoint reward, success_bonus 0.0 by
+  default) is unchanged.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from thormang_isaacgym_tpu.core import quat as Q
+from thormang_isaacgym_tpu.engine.env import Task
+from thormang_isaacgym_tpu.models import load_urdf
+from thormang_isaacgym_tpu.models.franka import franka_dof_ids, load_franka
+from thormang_isaacgym_tpu.models.robot import DRIVE_EFFORT
+from thormang_isaacgym_tpu.models.scene import compose
+from thormang_isaacgym_tpu.ops import control as C
+from thormang_isaacgym_tpu.ops import inertia as di
+from thormang_isaacgym_tpu.ops.kinematics import forward_kinematics
+from thormang_isaacgym_tpu.ops.sim import Controls, SimParams
+
+TABLE_Z = 0.4                  # FactoryBase.yaml table_height
+FRANKA_POS = (-0.45, 0.0, 0.5)
+
+# nut-bolt dims (asset_info_nut_bolt M16-class; the YAML with exact dims is
+# absent from the snapshot — public M16: 24 mm across flats, 13 mm height,
+# 16 mm bore, 2 mm pitch)
+NUT_OUTER = 0.012              # half-width across flats
+NUT_HOLE = 0.0085              # half-width of the square bore
+NUT_H = 0.0065                 # half-height
+BOLT_SHAFT = 0.008             # half-width of the square shaft
+BOLT_LEN = 0.050               # shaft length
+BOLT_HEAD_H = 0.005            # head half-height
+THREAD_PITCH = 0.002           # m per revolution
+
+_CTRL_YAML = {
+    "ctrl_type": "joint_space_id",
+    "all": {"jacobian_type": "geometric",
+            "gripper_prop_gains": [50, 50], "gripper_deriv_gains": [2, 2]},
+    "joint_space_id": {"ik_method": "dls",
+                       "joint_prop_gains": [40] * 7,
+                       "joint_deriv_gains": [8] * 7},
+    "task_space_impedance": {"motion_ctrl_axes": [1] * 6,
+                             "task_prop_gains": [40] * 6,
+                             "task_deriv_gains": [8] * 6},
+}
+
+FRANKA_FACTORY_DOF = np.array(
+    [0.3413, -0.8011, -0.0670, -1.8299, 0.0266, 1.0185, 1.0927, 0.04, 0.04],
+    np.float32)   # FactoryTaskNutBoltPick.yaml:26 + open gripper
+
+
+def _nut_urdf(free: bool = True):
+    """4-wall square annulus (graspable, insertable over the shaft)."""
+    t = NUT_OUTER - NUT_HOLE
+    walls = []
+    for (cx, cy, hx, hy) in (
+            (0.0, NUT_HOLE + t / 2, NUT_OUTER, t / 2),
+            (0.0, -(NUT_HOLE + t / 2), NUT_OUTER, t / 2),
+            (NUT_HOLE + t / 2, 0.0, t / 2, NUT_HOLE),
+            (-(NUT_HOLE + t / 2), 0.0, t / 2, NUT_HOLE)):
+        walls.append(
+            f'<collision name="nut_wall{len(walls)}">'
+            f'<origin xyz="{cx} {cy} 0"/>'
+            f'<geometry><box size="{2*hx} {2*hy} {2*NUT_H}"/></geometry>'
+            f'</collision>')
+    m, i = 0.03, 0.03 * (0.02 ** 2) / 6
+    return f"""
+<robot name="nut">
+  <link name="nut">
+    <inertial><mass value="{m}"/>
+      <inertia ixx="{i:.2e}" iyy="{i:.2e}" izz="{i:.2e}" ixy="0" ixz="0" iyz="0"/></inertial>
+    {''.join(walls)}
+  </link>
+</robot>"""
+
+
+def _bolt_urdf():
+    """Fixed bolt: head box + square shaft."""
+    return f"""
+<robot name="bolt">
+  <link name="bolt">
+    <inertial><mass value="0.1"/>
+      <inertia ixx="1e-5" iyy="1e-5" izz="1e-5" ixy="0" ixz="0" iyz="0"/></inertial>
+    <collision name="bolt_head"><origin xyz="0 0 {BOLT_HEAD_H}"/>
+      <geometry><box size="{4*BOLT_SHAFT} {4*BOLT_SHAFT} {2*BOLT_HEAD_H}"/></geometry></collision>
+    <collision name="bolt_shaft"><origin xyz="0 0 {2*BOLT_HEAD_H + BOLT_LEN/2}"/>
+      <geometry><box size="{2*BOLT_SHAFT} {2*BOLT_SHAFT} {BOLT_LEN}"/></geometry></collision>
+  </link>
+</robot>"""
+
+
+def _bolt_nut_urdf():
+    """Screw-task articulation: nut rides the bolt through revolute(z) +
+    prismatic(z); the thread tendon constrains z = -pitch/(2 pi) * theta."""
+    t = NUT_OUTER - NUT_HOLE
+    walls = []
+    for (cx, cy, hx, hy) in (
+            (0.0, NUT_HOLE + t / 2, NUT_OUTER, t / 2),
+            (0.0, -(NUT_HOLE + t / 2), NUT_OUTER, t / 2),
+            (NUT_HOLE + t / 2, 0.0, t / 2, NUT_HOLE),
+            (-(NUT_HOLE + t / 2), 0.0, t / 2, NUT_HOLE)):
+        walls.append(
+            f'<collision name="nut_wall{len(walls)}">'
+            f'<origin xyz="{cx} {cy} 0"/>'
+            f'<geometry><box size="{2*hx} {2*hy} {2*NUT_H}"/></geometry>'
+            f'</collision>')
+    top = 2 * BOLT_HEAD_H + BOLT_LEN
+    return f"""
+<robot name="bolt_nut">
+  <link name="bolt">
+    <inertial><mass value="0.1"/>
+      <inertia ixx="1e-5" iyy="1e-5" izz="1e-5" ixy="0" ixz="0" iyz="0"/></inertial>
+    <collision name="bolt_head"><origin xyz="0 0 {BOLT_HEAD_H}"/>
+      <geometry><box size="{4*BOLT_SHAFT} {4*BOLT_SHAFT} {2*BOLT_HEAD_H}"/></geometry></collision>
+  </link>
+  <joint name="nut_spin" type="continuous">
+    <parent link="bolt"/><child link="nut_carrier"/>
+    <origin xyz="0 0 {top}"/><axis xyz="0 0 1"/>
+    <dynamics damping="0.01" friction="0.06"/>
+  </joint>
+  <link name="nut_carrier">
+    <inertial><mass value="0.005"/>
+      <inertia ixx="1e-7" iyy="1e-7" izz="1e-7" ixy="0" ixz="0" iyz="0"/></inertial>
+  </link>
+  <joint name="nut_travel" type="prismatic">
+    <parent link="nut_carrier"/><child link="nut"/>
+    <origin xyz="0 0 0"/><axis xyz="0 0 1"/>
+    <limit lower="{-BOLT_LEN}" upper="0.0" effort="1000" velocity="1.0"/>
+    <dynamics damping="0.01"/>
+  </joint>
+  <link name="nut">
+    <inertial><mass value="0.03"/>
+      <inertia ixx="2e-6" iyy="2e-6" izz="2e-6" ixy="0" ixz="0" iyz="0"/></inertial>
+    {''.join(walls)}
+  </link>
+</robot>"""
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FactoryTaskState:
+    actions: jnp.ndarray
+
+
+class FactoryBase(Task):
+    """Shared Franka+table plumbing for the factory family."""
+    max_episode_length = 100
+    clip_obs = 5.0
+    num_actions = 12
+    pos_action_scale = 0.1
+    rot_action_scale = 0.1
+    force_action_scale = 1.0
+    torque_action_scale = 1.0
+    clamp_rot_thresh = 1.0e-6
+    keypoint_reward_scale = 1.0
+    action_penalty_scale = 0.0
+    num_keypoints = 4
+    keypoint_scale = 0.5
+    success_bonus = 0.0
+
+    def __init__(self, num_envs: int = 128, seed: int = 42,
+                 ctrl_cfg: dict | None = None, **_):
+        super().__init__(num_envs, seed)
+        self.cfg_ctrl = C.parse_controller_spec(ctrl_cfg or _CTRL_YAML)
+        self.sim_params = SimParams(
+            dt=1.0 / 60.0, substeps=4, gravity=(0.0, 0.0, -9.81),
+            contact_stiffness=1.0e5, contact_damping=1.0e3,
+            friction_vel=0.004, plane_friction=0.3,   # table_friction 0.3
+            max_depenetration_velocity=0.5)
+        self.dt = self.sim_params.dt
+
+    def _finish_scene(self, scene):
+        self.model = scene
+        self.fr_ids = np.array(franka_dof_ids(scene, "franka/"))
+        d = scene._defaults
+        mode = np.array(d["drive_mode"])
+        for k in self.fr_ids:           # manual mode: all 9 effort-driven
+            mode[k] = DRIVE_EFFORT
+        d["drive_mode"] = mode
+        self.effort_limit = jnp.asarray(
+            np.array(d["drive_effort_limit"])[self.fr_ids])
+        gb, gp, gq = scene.sites["franka/panda_grasp"]
+        self.grasp_body, self.grasp_pos_l, self.grasp_quat_l = gb, gp, gq
+        self.lfinger_body = scene.body_id("franka/panda_leftfinger")
+        self.rfinger_body = scene.body_id("franka/panda_rightfinger")
+        # keypoint offsets along the local z: linspace(0,1)-0.5, scaled
+        # (factory_task_nut_bolt_pick.py:334-340)
+        ko = np.zeros((self.num_keypoints, 3), np.float32)
+        ko[:, 2] = (np.linspace(0.0, 1.0, self.num_keypoints) - 0.5) \
+            * self.keypoint_scale
+        self.keypoint_offsets = jnp.asarray(ko)
+
+    def ground_height_fn(self):
+        return lambda x, y: jnp.full_like(x, TABLE_Z)
+
+    # ---- fingertip midpoint frame (factory_base acquire/refresh) ----
+    def _eef(self, q, qd):
+        frames = forward_kinematics(self.model, q, qd)
+        bq = frames.quat[self.grasp_body]
+        gq = Q.mul(bq, jnp.asarray(self.grasp_quat_l))
+        r = Q.rotate(bq, jnp.asarray(self.grasp_pos_l))
+        gp = frames.pos[self.grasp_body] + r
+        w = frames.omega[self.grasp_body]
+        v = frames.vel[self.grasp_body] + jnp.cross(w, r)
+        return gp, gq, v, w
+
+    def default_task_state(self, key):
+        return FactoryTaskState(jnp.zeros((self.num_envs, self.num_actions)))
+
+    # ---- actions -> controller targets -> torques ----
+    def _torques(self, q, qd, actions, params, finger_force):
+        """Single env: action (12,) -> 9 franka DOF torques through the
+        configured controller (joint_space_id default)."""
+        model = self.model
+        fr = jnp.asarray(self.fr_ids)
+        nf6 = 6 * model.n_floating
+        nf7 = 7 * model.n_floating
+        jq = q[nf7:]
+        jqd = qd[nf6:]
+        gp, gq, v, w = self._eef(q, qd)
+
+        pos_a = actions[0:3] * self.pos_action_scale
+        rot_a = actions[3:6] * self.rot_action_scale
+        angle = jnp.linalg.norm(rot_a) + 1e-12
+        axis = rot_a / angle
+        dq = Q.from_axis_angle(axis, angle)
+        dq = jnp.where(angle > self.clamp_rot_thresh, dq,
+                       jnp.asarray([1.0, 0, 0, 0]))
+        target_pos = gp + pos_a
+        target_quat = Q.mul(dq, gq)
+        target_wrench = jnp.concatenate([
+            actions[6:9] * self.force_action_scale,
+            actions[9:12] * self.torque_action_scale]) \
+            if self.cfg_ctrl["do_force_ctrl"] else jnp.zeros(6)
+
+        frames = forward_kinematics(model, q, jnp.zeros(model.nv))
+        H = di.mass_matrix(model, params, q, frames)
+        cols = nf6 + fr[:7]
+        mm = H[jnp.ix_(cols, cols)]
+        J6 = di.point_jacobian(model, q, self.grasp_body,
+                               self.grasp_pos_l, frames)
+        j_eef = jnp.concatenate([J6[3:], J6[:3]], axis=0)[:, cols]
+
+        dof_pos = jq[fr]
+        dof_vel = jqd[fr]
+        tau = C.compute_dof_torque(
+            self.cfg_ctrl, dof_pos, dof_vel, gp, gq, v, w, finger_force,
+            j_eef, mm, self._gripper_target, target_pos, target_quat,
+            target_wrench)
+        return jnp.clip(tau, -self.effort_limit, self.effort_limit)
+
+    _gripper_target = 0.04     # open (franka_gripper_width_max / 2)
+
+    def pre_physics(self, state, actions):
+        B = actions.shape[0]
+        model = self.model
+        # measured fingertip wrench for closed-loop force modes: the net
+        # contact force on the fingers (the same signal the reference wires
+        # through force sensors, factory_base.py acquire_base_tensors)
+        ff = state.net_contact[:, self.lfinger_body] \
+            + state.net_contact[:, self.rfinger_body]
+        tau = jax.vmap(self._torques)(
+            state.q, state.qd, actions, state.params, ff)
+        fr = jnp.asarray(self.fr_ids)
+        effort = jnp.zeros((B, model.nj)).at[:, fr].set(tau)
+        ctrl = Controls(jnp.zeros((B, model.nj)), jnp.zeros((B, model.nj)),
+                        effort)
+        wrench = jnp.zeros((B, model.nb, 6))
+        return ctrl, wrench, FactoryTaskState(actions)
+
+    def _keypoints(self, pos, quat):
+        """World keypoints of a frame: pos + R @ offsets."""
+        return pos[None, :] + jax.vmap(lambda o: Q.rotate(quat, o))(
+            self.keypoint_offsets)
+
+
+class FactoryTaskNutBoltPick(FactoryBase):
+    """Pick: reach the nut's grasp frame (keypoint reward), then a scripted
+    close+lift must carry it (exercised in tests). Obs 20
+    (factory_task_nut_bolt_pick.py:157-168)."""
+    num_obs = 20
+
+    def __init__(self, num_envs: int = 128, seed: int = 42, **kw):
+        super().__init__(num_envs, seed, **kw)
+        franka = load_franka()
+        nut = load_urdf(_nut_urdf())
+        bolt = load_urdf(_bolt_urdf(), fix_base_link=True)
+        scene = compose([
+            (franka, FRANKA_POS + (1.0, 0.0, 0.0, 0.0), "franka/"),
+            (nut, (0.0, -0.1, TABLE_Z + NUT_H, 1.0, 0.0, 0.0, 0.0), "nut/"),
+            (bolt, (0.15, 0.1, TABLE_Z, 1.0, 0.0, 0.0, 0.0), "bolt/"),
+        ], name="factory_nut_bolt_pick")
+        self._finish_scene(scene)
+        self.nut_body = scene.body_id("nut/nut")
+        self.qN = 0            # nut root q block
+
+    def reset_fn(self, key, params, task):
+        ks = jax.random.split(key, 3)
+        pos = jnp.asarray(FRANKA_FACTORY_DOF) \
+            + 0.1 * (jax.random.uniform(ks[0], (9,)) * 2 - 1) \
+            * jnp.asarray([1.0] * 7 + [0.0, 0.0])
+        pos = pos.at[7:].set(0.04)
+        jq = jnp.zeros(self.model.nj).at[jnp.asarray(self.fr_ids)].set(pos)
+        nxy = jnp.asarray([0.0, -0.1]) + 0.1 * (
+            jax.random.uniform(ks[1], (2,)) * 2 - 1)
+        yaw = jax.random.uniform(ks[2], (), minval=-np.pi, maxval=np.pi)
+        qn = jnp.concatenate([
+            nxy, jnp.asarray([TABLE_Z + NUT_H]),
+            Q.from_axis_angle(jnp.asarray([0.0, 0, 1.0]), yaw)])
+        q = jnp.concatenate([qn, jq])
+        return q, jnp.zeros(self.model.nv), params, \
+            FactoryTaskState(jnp.zeros(self.num_actions))
+
+    def post_physics(self, state, prev_task):
+        gp, gq, v, w = jax.vmap(self._eef)(state.q, state.qd)
+        nut_pos = state.q[:, self.qN:self.qN + 3]
+        nut_quat = state.q[:, self.qN + 3:self.qN + 7]
+        # grasp frame: top center of the nut
+        grasp_pos = nut_pos + jax.vmap(
+            lambda qq: Q.rotate(qq, jnp.asarray([0.0, 0, NUT_H])))(nut_quat)
+        obs = jnp.concatenate([gp, gq, v, w, grasp_pos, nut_quat], axis=-1)
+
+        kp_g = jax.vmap(self._keypoints)(gp, gq)
+        kp_n = jax.vmap(self._keypoints)(grasp_pos, nut_quat)
+        kd = jnp.linalg.norm(kp_g - kp_n, axis=-1).sum(-1)
+        a_pen = jnp.linalg.norm(state.task.actions, axis=-1)
+        reward = -kd * self.keypoint_reward_scale \
+            - a_pen * self.action_penalty_scale
+        lifted = (nut_pos[:, 2] - TABLE_Z) > 3.0 * 2 * NUT_H
+        done = jnp.zeros_like(reward)
+        metrics = dict(state.metrics)
+        metrics["keypoint_dist"] = kd
+        metrics["success"] = lifted.astype(jnp.float32)
+        return obs, reward, done, prev_task, metrics
+
+
+class FactoryTaskNutBoltPlace(FactoryBase):
+    """Place: nut starts in the closed gripper above the bolt; move it onto
+    the bolt top (keypoint reward toward the bolt-tip frame). Obs 27."""
+    num_obs = 27
+
+    def __init__(self, num_envs: int = 128, seed: int = 42, **kw):
+        super().__init__(num_envs, seed, **kw)
+        franka = load_franka()
+        nut = load_urdf(_nut_urdf())
+        bolt = load_urdf(_bolt_urdf(), fix_base_link=True)
+        self.bolt_pos = np.array([0.1, 0.0, TABLE_Z], np.float32)
+        scene = compose([
+            (franka, FRANKA_POS + (1.0, 0.0, 0.0, 0.0), "franka/"),
+            (nut, (0.0, 0.0, TABLE_Z + 0.3, 1.0, 0.0, 0.0, 0.0), "nut/"),
+            (bolt, tuple(self.bolt_pos) + (1.0, 0.0, 0.0, 0.0), "bolt/"),
+        ], name="factory_nut_bolt_place")
+        self._finish_scene(scene)
+        self.nut_body = scene.body_id("nut/nut")
+        self.qN = 0
+        self._gripper_target = 0.011   # hold the nut (half-width 12 mm)
+
+    def reset_fn(self, key, params, task):
+        ks = jax.random.split(key, 2)
+        pos = jnp.asarray(FRANKA_FACTORY_DOF) \
+            + 0.05 * (jax.random.uniform(ks[0], (9,)) * 2 - 1) \
+            * jnp.asarray([1.0] * 7 + [0.0, 0.0])
+        pos = pos.at[7:].set(0.013)    # fingers on the nut
+        jq = jnp.zeros(self.model.nj).at[jnp.asarray(self.fr_ids)].set(pos)
+        # nut placed at the gripper: compute fk to find the grasp point
+        qtmp = jnp.concatenate([jnp.zeros(7).at[3].set(1.0), jq])
+        gp, gq, _, _ = self._eef(qtmp, jnp.zeros(self.model.nv))
+        yaw_g = jnp.arctan2(2 * (gq[0] * gq[3] + gq[1] * gq[2]),
+                            1 - 2 * (gq[2] ** 2 + gq[3] ** 2))
+        qn = jnp.concatenate([
+            gp + jnp.asarray([0.0, 0, -0.005]),
+            Q.from_axis_angle(jnp.asarray([0.0, 0, 1.0]), yaw_g)])
+        q = jnp.concatenate([qn, jq])
+        return q, jnp.zeros(self.model.nv), params, \
+            FactoryTaskState(jnp.zeros(self.num_actions))
+
+    def post_physics(self, state, prev_task):
+        gp, gq, v, w = jax.vmap(self._eef)(state.q, state.qd)
+        nut_pos = state.q[:, self.qN:self.qN + 3]
+        nut_quat = state.q[:, self.qN + 3:self.qN + 7]
+        bolt_pos = jnp.broadcast_to(jnp.asarray(self.bolt_pos),
+                                    nut_pos.shape)
+        bolt_quat = jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]),
+                                     nut_quat.shape)
+        obs = jnp.concatenate([gp, gq, v, w, nut_pos, nut_quat,
+                               bolt_pos, bolt_quat], axis=-1)
+        # target: nut seated over the shaft tip
+        tip = jnp.asarray(self.bolt_pos) + jnp.asarray(
+            [0.0, 0, 2 * BOLT_HEAD_H + BOLT_LEN + NUT_H])
+        kp_n = jax.vmap(self._keypoints)(nut_pos, nut_quat)
+        kp_t = jax.vmap(self._keypoints)(
+            jnp.broadcast_to(tip, nut_pos.shape), bolt_quat)
+        kd = jnp.linalg.norm(kp_n - kp_t, axis=-1).sum(-1)
+        a_pen = jnp.linalg.norm(state.task.actions, axis=-1)
+        reward = -kd * self.keypoint_reward_scale \
+            - a_pen * self.action_penalty_scale
+        seated = jnp.linalg.norm(nut_pos - tip, axis=-1) < 0.01
+        metrics = dict(state.metrics)
+        metrics["keypoint_dist"] = kd
+        metrics["success"] = seated.astype(jnp.float32)
+        return obs, reward, jnp.zeros_like(reward), prev_task, metrics
+
+
+class FactoryTaskNutBoltScrew(FactoryBase):
+    """Screw: the nut starts threaded at the bolt top; screwing it down is
+    rotation about the shaft with the thread constraint converting spin to
+    travel. Obs 32 (+ finger forces, factory_task_nut_bolt_screw.py)."""
+    num_obs = 32
+    max_episode_length = 200
+
+    def __init__(self, num_envs: int = 128, seed: int = 42, **kw):
+        super().__init__(num_envs, seed, **kw)
+        franka = load_franka()
+        boltnut = load_urdf(_bolt_nut_urdf(), fix_base_link=True)
+        self.bolt_pos = np.array([0.1, 0.0, TABLE_Z], np.float32)
+        scene = compose([
+            (franka, FRANKA_POS + (1.0, 0.0, 0.0, 0.0), "franka/"),
+            (boltnut, tuple(self.bolt_pos) + (1.0, 0.0, 0.0, 0.0), "bn/"),
+        ], name="factory_nut_bolt_screw")
+        # the thread: L = travel + pitch/(2 pi) * spin pinned to 0
+        spin = scene.dof_id("bn/nut_spin")
+        travel = scene.dof_id("bn/nut_travel")
+        coef = np.zeros(scene.nj, np.float32)
+        coef[travel] = 1.0
+        coef[spin] = THREAD_PITCH / (2 * np.pi)
+        scene = dataclasses.replace(
+            scene, tendons=scene.tendons + ((tuple(coef), 0.0, 0.0, "bn/thread"),))
+        d = scene._defaults
+        d["tendon_stiffness"] = np.concatenate(
+            [d["tendon_stiffness"], [2.0e4]]).astype(np.float32)
+        d["tendon_damping"] = np.concatenate(
+            [d["tendon_damping"], [50.0]]).astype(np.float32)
+        self._finish_scene(scene)
+        self.nut_body = scene.body_id("bn/nut")
+        self.spin_dof = spin
+        self.travel_dof = travel
+        self._gripper_target = 0.011
+
+    def reset_fn(self, key, params, task):
+        pos = jnp.asarray(FRANKA_FACTORY_DOF) \
+            + 0.05 * (jax.random.uniform(key, (9,)) * 2 - 1) \
+            * jnp.asarray([1.0] * 7 + [0.0, 0.0])
+        pos = pos.at[7:].set(0.013)
+        jq = jnp.zeros(self.model.nj).at[jnp.asarray(self.fr_ids)].set(pos)
+        # nut at the top of the thread
+        jq = jq.at[self.travel_dof].set(0.0)
+        jq = jq.at[self.spin_dof].set(0.0)
+        return jq, jnp.zeros(self.model.nv), params, \
+            FactoryTaskState(jnp.zeros(self.num_actions))
+
+    def post_physics(self, state, prev_task):
+        model = self.model
+        gp, gq, v, w = jax.vmap(self._eef)(state.q, state.qd)
+        frames = jax.vmap(lambda q, qd: forward_kinematics(model, q, qd))(
+            state.q, state.qd)
+        nut_pos = frames.pos[:, self.nut_body]
+        nut_quat = frames.quat[:, self.nut_body]
+        nut_v = frames.vel[:, self.nut_body]
+        nut_w = frames.omega[:, self.nut_body]
+        ff = state.net_contact[:, self.lfinger_body] \
+            + state.net_contact[:, self.rfinger_body]
+        obs = jnp.concatenate([gp, gq, v, w, nut_pos, nut_quat,
+                               nut_v, nut_w, ff, jnp.zeros_like(ff)], axis=-1)
+        nf7 = 7 * model.n_floating
+        travel = state.q[:, nf7 + self.travel_dof]
+        # reward: screw the nut down the full thread
+        reward = -(travel + BOLT_LEN) / BOLT_LEN
+        screwed = travel < -0.9 * BOLT_LEN
+        metrics = dict(state.metrics)
+        metrics["travel"] = travel
+        metrics["success"] = screwed.astype(jnp.float32)
+        return obs, reward, jnp.zeros_like(reward), prev_task, metrics
