@@ -30,7 +30,9 @@ import numpy as np
 import optax
 
 from thormang_isaacgym_tpu.engine.env import EnvState, VecEnv
-from thormang_isaacgym_tpu.learn.networks import ActorCritic, ValueNet
+from thormang_isaacgym_tpu.learn.networks import (
+    ActorCritic, ActorCriticRNN, ValueNet,
+)
 from thormang_isaacgym_tpu.learn.normalize import (
     RMSState, rms_denormalize, rms_normalize, rms_update,
 )
@@ -67,6 +69,14 @@ class PPOConfig:
     sigma_init: float = 0.0
     mixed_precision: bool = True
     seed: int = 42
+    # rl_games `rnn:` block + seq_len (LSTM policies:
+    # AnymalTerrainPPO_LSTM.yaml, HumanoidPPO.yaml:68-75). rnn_units 0 = MLP.
+    rnn_units: int = 0
+    rnn_layers: int = 1
+    rnn_before_mlp: bool = False
+    rnn_concat_input: bool = False
+    rnn_layer_norm: bool = False
+    seq_len: int = 4
 
     @staticmethod
     def from_rlgames(cfg: dict) -> "PPOConfig":
@@ -104,6 +114,17 @@ class PPOConfig:
             kw["separate"] = net["separate"]
         if "fixed_sigma" in space:
             kw["fixed_sigma"] = space["fixed_sigma"]
+        rnn = net.get("rnn")
+        if rnn and rnn.get("name", "lstm") == "lstm":
+            kw["rnn_units"] = int(rnn.get("units", 256))
+            kw["rnn_layers"] = int(rnn.get("layers", 1))
+            kw["rnn_before_mlp"] = bool(rnn.get("before_mlp", False))
+            kw["rnn_concat_input"] = bool(rnn.get("concat_input", False))
+            kw["rnn_layer_norm"] = bool(rnn.get("layer_norm", False))
+        if "seq_length" in conf:
+            kw["seq_len"] = int(conf["seq_length"])
+        if "seq_len" in conf:
+            kw["seq_len"] = int(conf["seq_len"])
         if isinstance(kw.get("learning_rate"), str):
             kw["learning_rate"] = float(kw["learning_rate"])
         return PPOConfig(**kw)
@@ -159,15 +180,40 @@ class PPO:
             units=config.units, activation=config.activation,
             compute_dtype=jnp.bfloat16 if config.mixed_precision else jnp.float32,
         ) if self.asymmetric else None
-        self.network = ActorCritic(
-            num_actions=env.num_actions,
-            units=config.units,
-            activation=config.activation,
-            separate=config.separate,
-            fixed_sigma=config.fixed_sigma,
-            sigma_init=config.sigma_init,
-            compute_dtype=jnp.bfloat16 if config.mixed_precision else jnp.float32,
-        )
+        # LSTM policy (rl_games rnn block). The hidden carry is threaded
+        # through the rollout (zeroed on env done) and re-scanned from
+        # stored seq-start carries in seq_len-truncated BPTT minibatches.
+        # Divergence from rl_games, by design: the carry starts at zero
+        # each train iteration (no cross-iteration persistence) — horizon
+        # >> seq_len makes the warm-up negligible, and it keeps TrainState
+        # free of per-env leaves (which must shard with the env axis).
+        self.is_rnn = config.rnn_units > 0
+        if self.is_rnn:
+            self.network = ActorCriticRNN(
+                num_actions=env.num_actions,
+                units=config.units,
+                rnn_units=config.rnn_units,
+                rnn_layers=config.rnn_layers,
+                before_mlp=config.rnn_before_mlp,
+                concat_input=config.rnn_concat_input,
+                layer_norm=config.rnn_layer_norm,
+                activation=config.activation,
+                fixed_sigma=config.fixed_sigma,
+                sigma_init=config.sigma_init,
+                compute_dtype=jnp.bfloat16 if config.mixed_precision else jnp.float32,
+            )
+            assert config.horizon_length % config.seq_len == 0, \
+                "horizon_length must be a multiple of seq_len"
+        else:
+            self.network = ActorCritic(
+                num_actions=env.num_actions,
+                units=config.units,
+                activation=config.activation,
+                separate=config.separate,
+                fixed_sigma=config.fixed_sigma,
+                sigma_init=config.sigma_init,
+                compute_dtype=jnp.bfloat16 if config.mixed_precision else jnp.float32,
+            )
         batch = config.horizon_length * env.num_envs
         self.num_minibatches = max(1, batch // config.minibatch_size)
         self.optimizer = optax.chain(
@@ -181,7 +227,10 @@ class PPO:
     # ------------------------------------------------------------------
     def init(self, key) -> TrainState:
         obs0 = jnp.zeros((1, self.env.num_obs))
-        params = self.network.init(key, obs0)
+        if self.is_rnn:
+            params = self.network.init(key, obs0, self.network.zero_carry(1))
+        else:
+            params = self.network.init(key, obs0)
         if self.asymmetric:
             k2 = jax.random.fold_in(key, 1)
             params = {"ac": params,
@@ -217,6 +266,25 @@ class PPO:
             value = rms_denormalize(ts.value_rms, value)
         return mu, log_std, value
 
+    def _apply_rnn(self, params, ts: TrainState, obs, carry, states=None):
+        p = params["ac"] if self.asymmetric else params
+        mu, log_std, value, carry = self.network.apply(p, obs, carry)
+        if self.asymmetric:
+            st = states
+            if self.cfg.normalize_input:
+                st = rms_normalize(ts.states_rms, st)
+            value = self.value_net.apply(params["cv"], st)
+        return mu, log_std, value, carry
+
+    def _policy_rnn(self, ts: TrainState, obs, carry, states=None):
+        if self.cfg.normalize_input:
+            obs = rms_normalize(ts.obs_rms, obs)
+        mu, log_std, value, carry = self._apply_rnn(ts.params, ts, obs,
+                                                    carry, states)
+        if self.cfg.normalize_value:
+            value = rms_denormalize(ts.value_rms, value)
+        return mu, log_std, value, carry
+
     def act_deterministic(self, ts: TrainState, obs):
         """Play-mode action (mu, clamped) — parity with export.py ModelWrapper
         (`/root/reference/isaacgymenvs/export.py:134-157`)."""
@@ -249,6 +317,37 @@ class PPO:
         (env_state, _), traj = jax.lax.scan(
             step, (env_state, key), None, length=self.cfg.horizon_length)
         return env_state, traj
+
+    def rollout_rnn(self, ts: TrainState, env_state: EnvState, key):
+        """LSTM rollout: threads the hidden carry (zeroed on env done) and
+        stores each step's INPUT carry for seq-start BPTT restarts."""
+        B = env_state.obs.shape[0]
+        carry0 = self.network.zero_carry(B)
+
+        def step(carry, _):
+            env_state, key, hid = carry
+            key, k_act = jax.random.split(key)
+            mask = (1.0 - env_state.done)[:, None]
+            hid = jax.tree.map(lambda x: x * mask, hid)
+            # (layers, 2, B, H) snapshot of the input carry
+            hid_store = jnp.stack([jnp.stack(p) for p in hid])
+            obs, states = env_state.obs, env_state.states
+            mu, log_std, value, hid = self._policy_rnn(ts, obs, hid, states)
+            action = mu + jnp.exp(log_std) * jax.random.normal(k_act, mu.shape)
+            logp = gaussian_logprob(mu, log_std, action)
+            env_state = self.env.step_fn(env_state, action)
+            out = dict(obs=obs, action=action, logp=logp, value=value,
+                       reward=env_state.reward, done=env_state.done,
+                       timeout=env_state.timeout,
+                       mu=mu, log_std=log_std, carry=hid_store)
+            if self.asymmetric:
+                out["states"] = states
+            return (env_state, key, hid), out
+
+        (env_state, _, last_hid), traj = jax.lax.scan(
+            step, (env_state, key, carry0), None,
+            length=self.cfg.horizon_length)
+        return env_state, traj, last_hid
 
     # ------------------------------------------------------------------
     def compute_gae(self, ts: TrainState, traj, last_value):
@@ -313,6 +412,75 @@ class PPO:
                            b_loss=b_loss, kl=kl)
 
     # ------------------------------------------------------------------
+    def _loss_rnn(self, params, ts: TrainState, batch, lr_unused=None):
+        """Sequence-minibatch loss: re-scan the LSTM over each seq_len
+        window from its stored seq-start carry (truncated BPTT — the
+        rl_games seq_length training scheme), then the standard PPO loss
+        over the flattened transitions. Mid-sequence dones zero the carry
+        exactly as the rollout did."""
+        cfg = self.cfg
+        S, L = batch["obs"].shape[:2]
+        obs = batch["obs"]
+        if cfg.normalize_input:
+            obs = rms_normalize(ts.obs_rms, obs)
+        p = params["ac"] if self.asymmetric else params
+        carry = tuple((batch["carry"][:, l, 0], batch["carry"][:, l, 1])
+                      for l in range(cfg.rnn_layers))
+
+        def step(c, xs):
+            carry_h, prev_done = c
+            obs_t, done_t = xs
+            mask = (1.0 - prev_done)[:, None]
+            carry_h = jax.tree.map(lambda x: x * mask, carry_h)
+            mu, ls, v, carry_h = self.network.apply(p, obs_t, carry_h)
+            return (carry_h, done_t), (mu, ls, v)
+
+        xs = (jnp.moveaxis(obs, 1, 0), jnp.moveaxis(batch["done"], 1, 0))
+        _, (mu, log_std, value) = jax.lax.scan(
+            step, (carry, jnp.zeros(S)), xs)
+        # (L, S, ...) -> (S*L, ...)
+        mu = jnp.moveaxis(mu, 0, 1).reshape(S * L, -1)
+        log_std = jnp.moveaxis(log_std, 0, 1).reshape(S * L, -1)
+        value = jnp.moveaxis(value, 0, 1).reshape(S * L)
+        if self.asymmetric:
+            st = batch["states"].reshape(S * L, -1)
+            if cfg.normalize_input:
+                st = rms_normalize(ts.states_rms, st)
+            value = self.value_net.apply(params["cv"], st)
+
+        def fl(x):
+            return x.reshape((S * L,) + x.shape[2:])
+
+        logp = gaussian_logprob(mu, log_std, fl(batch["action"]))
+        ratio = jnp.exp(logp - fl(batch["logp"]))
+        adv = fl(batch["adv"])
+        surr1 = ratio * adv
+        surr2 = jnp.clip(ratio, 1.0 - cfg.e_clip, 1.0 + cfg.e_clip) * adv
+        a_loss = -jnp.minimum(surr1, surr2).mean()
+        ret = fl(batch["ret"])
+        old_value = fl(batch["value"])
+        if cfg.normalize_value:
+            ret = rms_normalize(ts.value_rms, ret)
+            old_value = rms_normalize(ts.value_rms, old_value)
+        if cfg.clip_value:
+            v_clipped = old_value + jnp.clip(value - old_value,
+                                             -cfg.e_clip, cfg.e_clip)
+            v_loss = jnp.maximum((value - ret) ** 2,
+                                 (v_clipped - ret) ** 2).mean()
+        else:
+            v_loss = ((value - ret) ** 2).mean()
+        entropy = gaussian_entropy(log_std).mean()
+        sb = 1.1
+        b_loss = (jnp.clip(mu - sb, 0.0, None) ** 2
+                  + jnp.clip(-sb - mu, 0.0, None) ** 2).sum(-1).mean()
+        total = (a_loss + 0.5 * v_loss * cfg.critic_coef
+                 - cfg.entropy_coef * entropy + cfg.bounds_loss_coef * b_loss)
+        kl = gaussian_kl(fl(batch["mu"]), fl(batch["log_std"]),
+                         mu, log_std).mean()
+        return total, dict(a_loss=a_loss, v_loss=v_loss, entropy=entropy,
+                           b_loss=b_loss, kl=kl)
+
+    # ------------------------------------------------------------------
     def _adaptive_lr(self, lr, kl):
         cfg = self.cfg
         if cfg.lr_schedule != "adaptive":
@@ -326,14 +494,31 @@ class PPO:
         """One epoch: rollout + mini_epochs of minibatch SGD. Fully jitted."""
         cfg = self.cfg
         key, k_roll, k_perm = jax.random.split(key, 3)
-        env_state, traj = self.rollout(ts, env_state, k_roll)
-
-        _, _, last_value = self._policy(ts, env_state.obs, env_state.states)
+        if self.is_rnn:
+            env_state, traj, last_hid = self.rollout_rnn(ts, env_state, k_roll)
+            mask = (1.0 - env_state.done)[:, None]
+            last_hid = jax.tree.map(lambda x: x * mask, last_hid)
+            _, _, last_value, _ = self._policy_rnn(
+                ts, env_state.obs, last_hid, env_state.states)
+        else:
+            env_state, traj = self.rollout(ts, env_state, k_roll)
+            _, _, last_value = self._policy(ts, env_state.obs, env_state.states)
         advantages, returns = self.compute_gae(ts, traj, last_value)
 
-        # flatten (T, B) -> (T*B,)
-        def flat(x):
-            return x.reshape((-1,) + x.shape[2:])
+        if self.is_rnn:
+            # sequence layout: (T, B, ...) -> (T/L * B, L, ...) with the
+            # stored input carry at each sequence start
+            L = cfg.seq_len
+            T = cfg.horizon_length
+
+            def flat(x):
+                x = x.reshape((T // L, L) + x.shape[1:])
+                x = jnp.moveaxis(x, 2, 1)
+                return x.reshape((-1, L) + x.shape[3:])
+        else:
+            # flatten (T, B) -> (T*B,)
+            def flat(x):
+                return x.reshape((-1,) + x.shape[2:])
 
         batch = dict(
             obs=flat(traj["obs"]), action=flat(traj["action"]),
@@ -343,6 +528,11 @@ class PPO:
         )
         if self.asymmetric:
             batch["states"] = flat(traj["states"])
+        if self.is_rnn:
+            batch["done"] = flat(traj["done"])
+            starts = traj["carry"][::cfg.seq_len]        # (T/L, layers, 2, B, H)
+            starts = jnp.moveaxis(starts, 3, 1)          # (T/L, B, layers, 2, H)
+            batch["carry"] = starts.reshape((-1,) + starts.shape[2:])
         if cfg.normalize_advantage:
             adv = batch["adv"]
             batch["adv"] = (adv - adv.mean()) / (adv.std() + 1e-8)
@@ -350,15 +540,25 @@ class PPO:
         # update normalizers from this batch (rl_games updates online during
         # rollout; batched update is equivalent in expectation)
         if cfg.normalize_input:
-            ts = dataclasses.replace(ts, obs_rms=rms_update(ts.obs_rms, batch["obs"]))
+            ts = dataclasses.replace(ts, obs_rms=rms_update(
+                ts.obs_rms, batch["obs"].reshape(-1, self.env.num_obs)))
             if self.asymmetric:
                 ts = dataclasses.replace(
-                    ts, states_rms=rms_update(ts.states_rms, batch["states"]))
+                    ts, states_rms=rms_update(
+                        ts.states_rms,
+                        batch["states"].reshape(-1, self.num_states)))
         if cfg.normalize_value:
             ts = dataclasses.replace(ts, value_rms=rms_update(ts.value_rms, batch["ret"]))
 
-        N = batch["obs"].shape[0]
-        mb = min(cfg.minibatch_size, N)
+        if self.is_rnn:
+            # N counts sequences; minibatch_size counts transitions
+            N = batch["obs"].shape[0]
+            mb = max(1, min(cfg.minibatch_size, N * cfg.seq_len) // cfg.seq_len)
+            loss_fn = self._loss_rnn
+        else:
+            N = batch["obs"].shape[0]
+            mb = min(cfg.minibatch_size, N)
+            loss_fn = self._loss
         nmb = N // mb
 
         def mini_epoch(carry, k_ep):
@@ -368,7 +568,7 @@ class PPO:
             def mb_step(carry, idx):
                 params, opt_state, lr = carry
                 mb_batch = jax.tree.map(lambda x: x[idx], batch)
-                (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                     params, ts, mb_batch)
                 if self.axis_name is not None:
                     # data-parallel gradient all-reduce over the env mesh axis
