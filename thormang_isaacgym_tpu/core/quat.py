@@ -184,6 +184,56 @@ def integrate(q: jnp.ndarray, omega_world: jnp.ndarray, dt) -> jnp.ndarray:
     return normalize(qn)
 
 
+def slerp(q0: jnp.ndarray, q1: jnp.ndarray, t) -> jnp.ndarray:
+    """Spherical interpolation between unit quaternions (batched).
+
+    Parity with the AMP frame-blending slerp
+    (`/root/reference/isaacgymenvs/tasks/amp/utils_amp/motion_lib.py:145,150`).
+    `t` broadcasts against the batch shape (last axis of q is the quat).
+    Falls back to nlerp when the quats are nearly parallel.
+    """
+    t = jnp.asarray(t)
+    if t.ndim < q0.ndim:
+        t = t[..., None]
+    dot = jnp.sum(q0 * q1, axis=-1, keepdims=True)
+    q1 = jnp.where(dot < 0.0, -q1, q1)          # shortest arc
+    dot = jnp.abs(dot)
+    dot_c = jnp.clip(dot, -1.0, 1.0 - 1e-7)
+    theta = jnp.arccos(dot_c)
+    sin_theta = jnp.sin(theta)
+    w0 = jnp.sin((1.0 - t) * theta) / sin_theta
+    w1 = jnp.sin(t * theta) / sin_theta
+    # nlerp branch for nearly-parallel quats (theta ~ 0)
+    close = dot > 1.0 - 1e-6
+    w0 = jnp.where(close, 1.0 - t, w0)
+    w1 = jnp.where(close, t, w1)
+    return normalize(w0 * q0 + w1 * q1)
+
+
+def to_tan_norm(q: jnp.ndarray) -> jnp.ndarray:
+    """6-D rotation feature: world images of the body x (tangent) and z
+    (normal) axes. Parity with `quat_to_tan_norm`
+    (`/root/reference/isaacgymenvs/tasks/amp/utils_amp/amp_torch_utils.py:88`)."""
+    tan = rotate(q, jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), q.shape[:-1] + (3,)))
+    norm = rotate(q, jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), q.shape[:-1] + (3,)))
+    return jnp.concatenate([tan, norm], axis=-1)
+
+
+def heading(q: jnp.ndarray) -> jnp.ndarray:
+    """Yaw heading angle of the body x-axis projected to the ground plane."""
+    dir_w = rotate(q, jnp.broadcast_to(jnp.array([1.0, 0.0, 0.0]), q.shape[:-1] + (3,)))
+    return jnp.arctan2(dir_w[..., 1], dir_w[..., 0])
+
+
+def heading_quat_inv(q: jnp.ndarray) -> jnp.ndarray:
+    """Pure-z rotation removing the heading: parity with
+    `calc_heading_quat_inv`
+    (`/root/reference/isaacgymenvs/tasks/amp/utils_amp/amp_torch_utils.py:196`)."""
+    h = heading(q)
+    axis = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), q.shape[:-1] + (3,))
+    return from_axis_angle(axis, -h)
+
+
 def wrap_to_pi(angle: jnp.ndarray) -> jnp.ndarray:
     """Wrap angle(s) to (-pi, pi]. Parity: `tasks/gogoro_new.py:805-809`."""
     return jnp.mod(angle + jnp.pi, 2.0 * jnp.pi) - jnp.pi

@@ -122,6 +122,27 @@ class ActorCriticRNN(nn.Module):
             for _ in range(self.rnn_layers))
 
 
+class AMPDiscriminator(nn.Module):
+    """AMP discriminator — the rl_games `disc:` network block
+    (`/root/reference/isaacgymenvs/cfg/train/HumanoidAMPPPO.yaml:33-38`:
+    MLP [1024, 512] relu -> 1 logit). The final layer is named
+    `disc_logits` so the logit-weight regularizer (disc_logit_reg) can
+    target its kernel."""
+    units: Sequence[int] = (1024, 512)
+    activation: str = "relu"
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, amp_obs):
+        x = amp_obs.astype(self.compute_dtype)
+        act = getattr(nn, self.activation)
+        for i, u in enumerate(self.units):
+            x = nn.Dense(u, name=f"disc_{i}", dtype=self.compute_dtype)(x)
+            x = act(x)
+        logit = nn.Dense(1, name="disc_logits", dtype=self.compute_dtype)(x)
+        return logit[..., 0].astype(jnp.float32)
+
+
 class ValueNet(nn.Module):
     """Central value network for asymmetric actor-critic: the critic reads
     privileged full-state observations (rl_games central_value_config, used

@@ -114,6 +114,11 @@ class PPOConfig:
             kw["separate"] = net["separate"]
         if "fixed_sigma" in space:
             kw["fixed_sigma"] = space["fixed_sigma"]
+        si = space.get("sigma_init")
+        if isinstance(si, dict):
+            si = si.get("val")
+        if si is not None:
+            kw["sigma_init"] = float(si)
         rnn = net.get("rnn")
         if rnn and rnn.get("name", "lstm") == "lstm":
             kw["rnn_units"] = int(rnn.get("units", 256))

@@ -36,7 +36,16 @@ def main(argv=None):
 
     env = tgx.make(task_name, num_envs=int(num_envs), seed=seed,
                    cfg=cfg.get("task") or None)
-    ppo_cfg = PPOConfig.from_rlgames(cfg["train"]) if cfg["train"] else PPOConfig()
+    # algo dispatch (train.py:133-148: amp_continuous registered beside
+    # a2c_continuous)
+    algo_name = ((cfg.get("train") or {}).get("params", {})
+                 .get("algo", {}).get("name", "a2c_continuous"))
+    if algo_name == "amp_continuous":
+        from thormang_isaacgym_tpu.learn.amp import AMPPPO, AMPConfig
+        ppo_cls, cfg_cls = AMPPPO, AMPConfig
+    else:
+        ppo_cls, cfg_cls = PPO, PPOConfig
+    ppo_cfg = cfg_cls.from_rlgames(cfg["train"]) if cfg["train"] else cfg_cls()
 
     n_dev = len(jax.devices())
     exp_name = cfg.get("experiment") or task_name
@@ -47,12 +56,12 @@ def main(argv=None):
 
     if n_dev > 1 and int(num_envs) % n_dev == 0:
         from thormang_isaacgym_tpu.parallel.mesh import ENV_AXIS, shard_ppo
-        ppo = PPO(env, ppo_cfg, axis_name=ENV_AXIS)
+        ppo = ppo_cls(env, ppo_cfg, axis_name=ENV_AXIS)
         train_iter, init_fn = shard_ppo(ppo)
         key = jax.random.key(seed)
         ts, env_state = init_fn(key)
     else:
-        ppo = PPO(env, ppo_cfg)
+        ppo = ppo_cls(env, ppo_cfg)
         key = jax.random.key(seed)
         key, k1, k2 = jax.random.split(key, 3)
         ts = ppo.init(k1)

@@ -30,6 +30,8 @@ TASK_MAP = {
                                 "FactoryTaskNutBoltPlace"),
     "FactoryTaskNutBoltScrew": ("thormang_isaacgym_tpu.tasks.factory",
                                 "FactoryTaskNutBoltScrew"),
+    "HumanoidAMP": ("thormang_isaacgym_tpu.tasks.humanoid_amp",
+                    "HumanoidAMP"),
 }
 
 
@@ -46,6 +48,10 @@ _CTOR_KEYS = {
     "observationType": "obs_type",
     "asymmetric_observations": "asymmetric_obs",
     "controlType": "control_type",
+    # AMP (cfg/task/HumanoidAMP.yaml env block)
+    "stateInit": "state_init",
+    "numAMPObsSteps": "num_amp_obs_steps",
+    "motion_file": "motion_file",
 }
 # reference env-block keys -> Task attribute names that don't follow plain
 # camelCase -> snake_case
@@ -68,6 +74,7 @@ _CONSUMED_KEYS = {
     "numEnvs", "numObservations", "numStates", "numActions", "envSpacing",
     "observationType", "asymmetric_observations", "controlType",
     "enableDebugVis", "enableCameraSensors", "aggregateMode", "physics_engine",
+    "stateInit", "numAMPObsSteps", "motion_file",
 }
 
 
