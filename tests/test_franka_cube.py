@@ -19,7 +19,7 @@ from thormang_isaacgym_tpu.tasks.franka_cube_stack import (
 DOWN, YDIR = np.array([0.0, 0, -1.0]), np.array([0.0, 1.0, 0])
 
 
-def _step_osc(env, state, target, grip, kp=4.0):
+def _step_osc(env, state, target, grip, kp=4.0, yaw_gain=1.0):
     gp, gq, _ = jax.vmap(env.task._eef)(state.q, state.qd)
     gp = np.asarray(gp)
     cz = np.asarray(jax.vmap(lambda q: Q.rotate(q, jnp.array([0.0, 0, 1.0])))(gq))
@@ -27,7 +27,8 @@ def _step_osc(env, state, target, grip, kp=4.0):
     B = gp.shape[0]
     a = np.zeros((B, 7), np.float32)
     a[:, :3] = np.clip(kp * (target - gp), -1, 1)
-    a[:, 3:6] = np.clip(2.0 * (np.cross(cz, DOWN) + np.cross(cy, YDIR)), -1, 1)
+    a[:, 3:6] = np.clip(
+        2.0 * (np.cross(cz, DOWN) + yaw_gain * np.cross(cy, YDIR)), -1, 1)
     a[:, -1] = grip
     return env.step(state, jnp.asarray(a)), gp
 
@@ -77,14 +78,28 @@ def test_grasp_lift_physics():
     task.max_episode_length = 10_000
     env = VecEnv(task, ground_height_fn=task.ground_height_fn())
     state = env.reset(jax.random.key(4))
-    # teleport cubeA into the gripper (between the fingertip spheres)
-    gp, _, _ = jax.vmap(task._eef)(state.q, state.qd)
+    # level the gripper first: the reset's arm-pose noise leaves the grip
+    # tilted 13-16 deg; teleporting an axis-aligned cube into a tilted grip
+    # starts with mm-deep PAD-EDGE penetration whose transient ejects the
+    # cube (in the real task flow the OSC aligns before the grasp)
+    gp0, _, _ = jax.vmap(task._eef)(state.q, state.qd)
+    for _ in range(60):
+        state, _ = _step_osc(env, state, np.asarray(gp0), +1.0)
+    # teleport cubeA into the gripper (between the finger pads), with the
+    # cube yawed to the grip frame: the scripted cross-product yaw control
+    # leaves the grip yaw arbitrary, and a cube's yaw is arbitrary too —
+    # face-parallel pads are the documented 0.2 mm-interference setup
+    gp, gq, _ = jax.vmap(task._eef)(state.q, state.qd)
+    cy = np.asarray(jax.vmap(lambda q: Q.rotate(q, jnp.array([0.0, 1.0, 0])))(gq))
+    yaw = np.arctan2(cy[:, 1], cy[:, 0])
+    cube_quat = np.stack([np.cos(yaw / 2), np.zeros(2), np.zeros(2),
+                          np.sin(yaw / 2)], axis=1).astype(np.float32)
     # cube sits LOW in the grip: its top must stay below the mid-finger
     # spheres (23 mm above the tips), or they press it out downward
     cube_pos = np.asarray(gp) + np.array([0, 0, -0.013], np.float32)
     q = np.asarray(state.q).copy()
     q[:, 0:3] = cube_pos
-    q[:, 3:7] = np.array([1.0, 0, 0, 0])
+    q[:, 3:7] = cube_quat
     # fingers pre-positioned at light touch (0.2 mm interference: cube half
     # 25 mm + pad r 12 mm - 0.2 mm). The implicit-normal contact is stiff
     # (kn 1e5): a deep pre-squeeze would start with a ~200 N transient that
@@ -97,16 +112,18 @@ def test_grasp_lift_physics():
     state = dataclasses.replace(state, q=jnp.asarray(q),
                                 qd=jnp.zeros_like(state.qd))
     hold = cube_pos + np.array([0, 0, 0.013])
-    # close the grip
+    # close the grip; yaw control off — the cube is already yaw-matched,
+    # and re-aligning the grip toward world-y would drag the held cube
+    # through a 130-deg turn for the rest of the test
     for _ in range(80):
-        state, _ = _step_osc(env, state, hold, -1.0)
+        state, _ = _step_osc(env, state, hold, -1.0, yaw_gain=0.0)
     fq = np.asarray(state.q)[:, nf7:][:, fr[7:]]
     assert np.all(fq > 0.004), f"fingers closed through the cube: {fq}"
-    # lift gently; the cube must ride with the gripper (constant rel-z)
+    # lift; the cube must ride with the gripper (constant rel-z)
     z0 = np.asarray(state.q[:, 2]).copy()
     target = hold + np.array([0, 0, 0.15], np.float32)
-    for _ in range(120):
-        state, _ = _step_osc(env, state, target, -1.0, kp=0.8)
+    for _ in range(150):
+        state, _ = _step_osc(env, state, target, -1.0, kp=2.0, yaw_gain=0.0)
     hA = np.asarray(state.metrics["cubeA_height"])
     assert np.all(hA - CUBE_A > 0.04), f"cubeA not lifted: {hA}"
     assert np.all(np.asarray(state.q[:, 2]) > z0 + 0.04), "cube did not ride with the gripper"
