@@ -17,3 +17,10 @@ os.environ["XLA_FLAGS"] = (
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent XLA compilation cache: the suite's dominant cost is scene-step
+# compiles (47 min cold); repeat runs hit the cache
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("THORMANG_COMPILE_CACHE", "/tmp/thormang_xla_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)

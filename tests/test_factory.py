@@ -76,3 +76,34 @@ def test_pick_keypoint_reward_improves_when_closer():
         state = env.step(state, jnp.asarray(a))
     r1 = np.asarray(state.metrics["keypoint_dist"])
     assert np.all(r1 < r0), (r0, r1)
+
+
+def test_insertion_constructs_and_rolls():
+    """FactoryTaskInsertion (reference reward is a placeholder,
+    factory_task_insertion.py:119-125; completed keypoint reward)."""
+    env = tgx.make("FactoryTaskInsertion", num_envs=2, seed=0)
+    state = env.reset(jax.random.key(0))
+    assert state.obs.shape == (2, 32)
+    key = jax.random.key(1)
+    for _ in range(5):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (2, 12), minval=-1, maxval=1)
+        state = env.step(state, a)
+    assert np.isfinite(np.asarray(state.obs)).all()
+    # plug still on/above the table
+    assert np.all(np.asarray(state.q[:, 2]) > 0.35)
+
+
+def test_gears_constructs_and_rolls():
+    """FactoryTaskGears (reference reward is a placeholder,
+    factory_task_gears.py:119-125; completed keypoint reward)."""
+    env = tgx.make("FactoryTaskGears", num_envs=2, seed=0)
+    state = env.reset(jax.random.key(0))
+    assert state.obs.shape == (2, 32)
+    key = jax.random.key(1)
+    for _ in range(5):
+        key, k = jax.random.split(key)
+        a = jax.random.uniform(k, (2, 12), minval=-1, maxval=1)
+        state = env.step(state, a)
+    assert np.isfinite(np.asarray(state.obs)).all()
+    assert np.all(np.asarray(state.q[:, 2]) > 0.35)

@@ -157,3 +157,23 @@ def test_quadcopter_rollout():
     final, (rew, done) = rollout(env, state, 30)
     assert np.isfinite(np.asarray(final.q)).all()
     assert np.isfinite(np.asarray(rew)).all()
+
+
+def test_gogoro_paper_rollout():
+    """Paper variant (gogoro_realistic_turning_sim_paper.py): 160-dim
+    20-frame window, direct steering with per-env delay, pushes; the
+    scooter stays upright for the first steps at speed (gyro effect)."""
+    env = tgx.make("GogoroPaper", num_envs=4, seed=0)
+    assert env.num_obs == 160 and env.num_actions == 1
+    state = env.reset(jax.random.key(0))
+    for _ in range(15):
+        state = env.step(state, jnp.zeros((4, 1)))
+    assert np.isfinite(np.asarray(state.obs)).all()
+    ob = np.asarray(state.obs).reshape(4, 20, 8)
+    assert np.allclose(ob[:, :, 1], 0.0)          # yaw channel zeroed (:544)
+    # per-env steer delay in [0, 5)
+    d = np.asarray(state.task.steer_delay)
+    assert ((d >= 0) & (d < 5)).all()
+    # rewards clipped non-negative unless fallen (:760-761)
+    r = np.asarray(state.reward)
+    assert ((r >= 0.0) | (r == -1.0)).all()

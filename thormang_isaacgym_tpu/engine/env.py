@@ -81,6 +81,11 @@ class Task:
     num_obs: int
     num_actions: int
     num_states: int = 0          # asymmetric actor-critic privileged obs
+    # multi-agent (MA_VecTask, multi_vec_task.py:102-125): when > 1 the
+    # engine allocates obs (B, A, num_obs), reward (B, A) and actions
+    # arrive as (B, A, num_actions); done/reset stay per-env (the
+    # reference's shared reset_buf)
+    num_agents: int = 1
     max_episode_length: int = 1000
     clip_actions: float = 1.0    # Env clip bounds (vec_task.py:107-108)
     clip_obs: float = jnp.inf
@@ -216,11 +221,14 @@ class VecEnv:
             params = jax.vmap(
                 lambda k, p, b: self._dr_fn(k, p, b, 0, setup=True)
             )(keys, params, base)
+        A = getattr(task, "num_agents", 1)
+        obs_shape = (B, A, task.num_obs) if A > 1 else (B, task.num_obs)
+        rew_shape = (B, A) if A > 1 else (B,)
         state = EnvState(
             q=q, qd=qd, params=params,
-            obs=jnp.zeros((B, task.num_obs)),
+            obs=jnp.zeros(obs_shape),
             states=jnp.zeros((B, task.num_states)),
-            reward=jnp.zeros(B),
+            reward=jnp.zeros(rew_shape),
             done=jnp.zeros(B),
             timeout=jnp.zeros(B),
             progress=jnp.zeros(B, jnp.int32),
@@ -329,8 +337,10 @@ class VecEnv:
             if task.num_states else state.states
 
         # episode-return bookkeeping (the reference's episode_sums ->
-        # extras["episode"] pattern, anymal_terrain.py:152-156)
-        episode_return = state.episode_return + reward
+        # extras["episode"] pattern, anymal_terrain.py:152-156); multi-agent
+        # rewards (B, A) accumulate as the per-env agent mean
+        episode_return = state.episode_return + (
+            reward.mean(-1) if reward.ndim == 2 else reward)
         last_episode_return = jnp.where(
             done > 0, episode_return, state.last_episode_return)
 

@@ -553,7 +553,9 @@ class PPO:
                         ts.states_rms,
                         batch["states"].reshape(-1, self.num_states)))
         if cfg.normalize_value:
-            ts = dataclasses.replace(ts, value_rms=rms_update(ts.value_rms, batch["ret"]))
+            # reshape: the return batch may carry a trailing agent axis
+            ts = dataclasses.replace(ts, value_rms=rms_update(
+                ts.value_rms, batch["ret"].reshape(-1)))
 
         if self.is_rnn:
             # N counts sequences; minibatch_size counts transitions

@@ -30,6 +30,23 @@ from thormang_isaacgym_tpu.utils.config import load_config
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     cfg = load_config(argv)
+    # multi-host wiring (the torchrun equivalent, reference train.py:74-82):
+    # must run BEFORE any other jax call
+    from thormang_isaacgym_tpu.parallel.distributed import maybe_initialize
+    dist_info = maybe_initialize(cfg)
+    if dist_info["initialized"]:
+        print(f"multi-host: process {dist_info['process_id']}/"
+              f"{dist_info['num_processes']}, "
+              f"{len(jax.devices())} global devices")
+    # persistent XLA compilation cache: cold-start compiles (~5 min for the
+    # fused Gogoro kernel, BENCH_r02 tail) are paid once per machine
+    cache_dir = cfg.get("compilation_cache_dir",
+                        os.environ.get("THORMANG_COMPILE_CACHE",
+                                       "/tmp/thormang_xla_cache"))
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     task_name = cfg["task_name"]
     num_envs = cfg.get("num_envs") or cfg["task"].get("env", {}).get("numEnvs", 4096)
     seed = int(cfg.get("seed", 42))
@@ -43,6 +60,9 @@ def main(argv=None):
     if algo_name == "amp_continuous":
         from thormang_isaacgym_tpu.learn.amp import AMPPPO, AMPConfig
         ppo_cls, cfg_cls = AMPPPO, AMPConfig
+    elif algo_name == "ma_ppo" or getattr(env.task, "num_agents", 1) > 1:
+        from thormang_isaacgym_tpu.learn.ma import MAPPO
+        ppo_cls, cfg_cls = MAPPO, PPOConfig
     else:
         ppo_cls, cfg_cls = PPO, PPOConfig
     ppo_cfg = cfg_cls.from_rlgames(cfg["train"]) if cfg["train"] else cfg_cls()
@@ -78,14 +98,35 @@ def main(argv=None):
 
     max_iter = int(cfg.get("max_iterations", 1000))
     log_path = os.path.join(run_dir, "metrics.jsonl")
+    # TensorBoard sink (rl_games algo-observer equivalent, train.py:84-97)
+    from thormang_isaacgym_tpu.runtime.tb import SummaryWriter
+    tb = SummaryWriter(os.path.join(run_dir, "summaries"))
+    # jax.profiler trace of a few steady-state iterations (SURVEY.md §5:
+    # "jax.profiler traces are cheap wins"); view with xprof/tensorboard
+    profile_at = int(cfg.get("profile_epoch", -1))
     best_reward = -float("inf")
     t_start = time.time()
     with open(log_path, "a") as logf:
         for epoch in range(max_iter):
             key, sub = jax.random.split(key)
+            if epoch == profile_at:
+                jax.profiler.start_trace(os.path.join(run_dir, "profile"))
             ts, env_state, metrics = train_iter(ts, env_state, sub)
+            if epoch == profile_at + 2 and profile_at >= 0:
+                jax.tree.map(
+                    lambda x: getattr(x, "block_until_ready", lambda: x)(),
+                    metrics)
+                jax.profiler.stop_trace()
+                print(f"profile trace written to {run_dir}/profile")
             if epoch % 10 == 0 or epoch == max_iter - 1:
                 m = {k: float(v) for k, v in metrics.items()}
+                # per-task episode metrics (the reference's extras["episode"]
+                # scalars, anymal_terrain.py:418-423): env-mean of each entry
+                try:
+                    for mk, mv in (env_state.metrics or {}).items():
+                        m[f"env/{mk}"] = float(jax.numpy.mean(mv))
+                except Exception:
+                    pass
                 m["epoch"] = epoch
                 m["time"] = round(time.time() - t_start, 1)
                 m["env_steps"] = (epoch + 1) * ppo.cfg.horizon_length * env.num_envs
@@ -93,6 +134,8 @@ def main(argv=None):
                 print(json.dumps(m))
                 logf.write(json.dumps(m) + "\n")
                 logf.flush()
+                tb.add_scalars(m, epoch)
+                tb.flush()
                 if m["reward_mean"] > best_reward:
                     best_reward = m["reward_mean"]
                     save_train_state(os.path.join(run_dir, "nn", "best.ckpt"), ts)

@@ -13,6 +13,8 @@ import importlib
 TASK_MAP = {
     "Cartpole": ("thormang_isaacgym_tpu.tasks.cartpole", "Cartpole"),
     "Gogoro": ("thormang_isaacgym_tpu.tasks.gogoro", "Gogoro"),
+    "GogoroPaper": ("thormang_isaacgym_tpu.tasks.gogoro_paper",
+                    "GogoroPaper"),
     "Ant": ("thormang_isaacgym_tpu.tasks.ant", "Ant"),
     "Humanoid": ("thormang_isaacgym_tpu.tasks.humanoid", "Humanoid"),
     "Anymal": ("thormang_isaacgym_tpu.tasks.anymal", "Anymal"),
@@ -30,8 +32,14 @@ TASK_MAP = {
                                 "FactoryTaskNutBoltPlace"),
     "FactoryTaskNutBoltScrew": ("thormang_isaacgym_tpu.tasks.factory",
                                 "FactoryTaskNutBoltScrew"),
+    "FactoryTaskInsertion": ("thormang_isaacgym_tpu.tasks.factory",
+                             "FactoryTaskInsertion"),
+    "FactoryTaskGears": ("thormang_isaacgym_tpu.tasks.factory",
+                         "FactoryTaskGears"),
     "HumanoidAMP": ("thormang_isaacgym_tpu.tasks.humanoid_amp",
                     "HumanoidAMP"),
+    "MA_OP3": ("thormang_isaacgym_tpu.tasks.ma_op3", "MA_OP3"),
+    "Trifinger": ("thormang_isaacgym_tpu.tasks.trifinger", "Trifinger"),
 }
 
 

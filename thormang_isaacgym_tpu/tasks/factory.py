@@ -165,6 +165,77 @@ def _bolt_nut_urdf():
 </robot>"""
 
 
+def _annulus_urdf(name, hole, outer, half_h, mass, fixed_note=""):
+    """Square annulus link (nut / socket / gear): 4 box walls around a
+    square bore."""
+    t = outer - hole
+    walls = []
+    for (cx, cy, hx, hy) in (
+            (0.0, hole + t / 2, outer, t / 2),
+            (0.0, -(hole + t / 2), outer, t / 2),
+            (hole + t / 2, 0.0, t / 2, hole),
+            (-(hole + t / 2), 0.0, t / 2, hole)):
+        walls.append(
+            f'<collision name="{name}_wall{len(walls)}">'
+            f'<origin xyz="{cx} {cy} 0"/>'
+            f'<geometry><box size="{2 * hx} {2 * hy} {2 * half_h}"/></geometry>'
+            f'</collision>')
+    i = max(mass * outer * outer / 3, 1e-7)
+    return (f'<robot name="{name}"><link name="{name}">'
+            f'<inertial><mass value="{mass}"/>'
+            f'<inertia ixx="{i:.2e}" iyy="{i:.2e}" izz="{i:.2e}" '
+            f'ixy="0" ixz="0" iyz="0"/></inertial>{"".join(walls)}'
+            f'</link></robot>')
+
+
+# insertion dims (assets absent — public round_peg_hole_16mm re-derived as
+# square sections; see module docstring)
+PLUG_HALF = 0.008               # plug half-width
+PLUG_LEN = 0.050                # plug length
+SOCKET_HOLE = 0.0095            # socket bore half-width (1.5 mm clearance)
+SOCKET_OUTER = 0.018
+SOCKET_H = 0.0125               # socket half-height
+
+# gears dims (factory_asset_info_gears absent; public NIST gears plate)
+GEAR_HOLE = 0.0065
+GEAR_OUTER = 0.025
+GEAR_H = 0.009
+SHAFT_HALF = 0.005
+SHAFT_LEN = 0.035
+
+
+def _plug_urdf():
+    i = 0.04 * PLUG_HALF * PLUG_HALF
+    return (f'<robot name="plug"><link name="plug">'
+            f'<inertial><origin xyz="0 0 {PLUG_LEN / 2}"/>'
+            f'<mass value="0.04"/>'
+            f'<inertia ixx="{i:.2e}" iyy="{i:.2e}" izz="{i:.2e}" '
+            f'ixy="0" ixz="0" iyz="0"/></inertial>'
+            f'<collision name="plug_shaft"><origin xyz="0 0 {PLUG_LEN / 2}"/>'
+            f'<geometry><box size="{2 * PLUG_HALF} {2 * PLUG_HALF} '
+            f'{PLUG_LEN}"/></geometry></collision>'
+            # grip collar so the fingers have a flat face to pinch
+            f'<collision name="plug_collar"><origin xyz="0 0 {PLUG_LEN - 0.008}"/>'
+            f'<geometry><box size="{2 * PLUG_HALF + 0.008} '
+            f'{2 * PLUG_HALF + 0.008} 0.016"/></geometry></collision>'
+            f'</link></robot>')
+
+
+def _gear_base_urdf():
+    """Fixed gear-base plate with the central shaft (the medium gear's)."""
+    return (f'<robot name="gear_base"><link name="gear_base">'
+            f'<inertial><mass value="0.5"/>'
+            f'<inertia ixx="1e-4" iyy="1e-4" izz="1e-4" '
+            f'ixy="0" ixz="0" iyz="0"/></inertial>'
+            f'<collision name="plate"><origin xyz="0 0 0.005"/>'
+            f'<geometry><box size="0.12 0.06 0.01"/></geometry></collision>'
+            f'<collision name="shaft_mid"><origin xyz="0 0 '
+            f'{0.01 + SHAFT_LEN / 2}"/>'
+            f'<geometry><box size="{2 * SHAFT_HALF} {2 * SHAFT_HALF} '
+            f'{SHAFT_LEN}"/></geometry></collision>'
+            f'</link></robot>')
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class FactoryTaskState:
@@ -498,4 +569,161 @@ class FactoryTaskNutBoltScrew(FactoryBase):
         metrics = dict(state.metrics)
         metrics["travel"] = travel
         metrics["success"] = screwed.astype(jnp.float32)
+        return obs, reward, jnp.zeros_like(reward), prev_task, metrics
+
+
+class FactoryTaskInsertion(FactoryBase):
+    """Insertion: insert a free peg into a fixed table socket.
+
+    The reference task class is a REGISTERED PLACEHOLDER: its
+    `_update_rew_buf`/`_update_reset_buf` are `pass`
+    (`factory_task_insertion.py:119-125`); the env half (scene + resets,
+    `factory_env_insertion.py`) and config (obs 32 / act 12 / episode 1024,
+    plug_bias_y -0.1, plug_noise_xy 0.05, `FactoryTaskInsertion.yaml`) are
+    real and reproduced. Completed here with the family's keypoint reward
+    toward the socket-seated pose."""
+    num_obs = 32
+    max_episode_length = 1024
+    plug_bias_y = -0.1
+    plug_noise_xy = 0.05
+
+    def __init__(self, num_envs: int = 128, seed: int = 42, **kw):
+        super().__init__(num_envs, seed, **kw)
+        franka = load_franka()
+        plug = load_urdf(_plug_urdf())
+        socket = load_urdf(
+            _annulus_urdf("socket", SOCKET_HOLE, SOCKET_OUTER, SOCKET_H, 0.2),
+            fix_base_link=True)
+        self.socket_pos = np.array([0.1, 0.0, TABLE_Z + SOCKET_H], np.float32)
+        scene = compose([
+            (franka, FRANKA_POS + (1.0, 0.0, 0.0, 0.0), "franka/"),
+            (plug, (0.0, self.plug_bias_y, TABLE_Z, 1.0, 0.0, 0.0, 0.0),
+             "plug/"),
+            (socket, tuple(self.socket_pos) + (1.0, 0.0, 0.0, 0.0),
+             "socket/"),
+        ], name="factory_insertion")
+        self._finish_scene(scene)
+        self.plug_body = scene.body_id("plug/plug")
+        self.qP = 0
+
+    def reset_fn(self, key, params, task):
+        ks = jax.random.split(key, 2)
+        pos = jnp.asarray(FRANKA_FACTORY_DOF) \
+            + 0.05 * (jax.random.uniform(ks[0], (9,)) * 2 - 1) \
+            * jnp.asarray([1.0] * 7 + [0.0, 0.0])
+        pos = pos.at[7:].set(0.04)
+        jq = jnp.zeros(self.model.nj).at[jnp.asarray(self.fr_ids)].set(pos)
+        # plug spawn (factory_task_insertion.py:163-179)
+        nxy = jnp.asarray([0.0, self.plug_bias_y]) + self.plug_noise_xy * (
+            jax.random.uniform(ks[1], (2,)) * 2 - 1)
+        qp = jnp.concatenate([
+            nxy, jnp.asarray([TABLE_Z]), jnp.asarray([1.0, 0.0, 0.0, 0.0])])
+        q = jnp.concatenate([qp, jq])
+        return q, jnp.zeros(self.model.nv), params, \
+            FactoryTaskState(jnp.zeros(self.num_actions))
+
+    def post_physics(self, state, prev_task):
+        gp, gq, v, w = jax.vmap(self._eef)(state.q, state.qd)
+        plug_pos = state.q[:, self.qP:self.qP + 3]
+        plug_quat = state.q[:, self.qP + 3:self.qP + 7]
+        plug_v = state.qd[:, 3:6]
+        plug_w = jax.vmap(Q.rotate)(plug_quat, state.qd[:, 0:3])
+        # seated pose: plug base at the socket bore center on the table
+        seat = jnp.asarray([self.socket_pos[0], self.socket_pos[1], TABLE_Z])
+        delta = seat[None] - plug_pos
+        obs = jnp.concatenate([
+            gp, gq, v, w, plug_pos, plug_quat, plug_v, plug_w,
+            jnp.broadcast_to(seat, plug_pos.shape) - plug_pos,
+            plug_pos - gp], axis=-1)          # 13+13+3+3 = 32
+        kp_p = jax.vmap(self._keypoints)(plug_pos, plug_quat)
+        kp_s = jax.vmap(self._keypoints)(
+            jnp.broadcast_to(seat, plug_pos.shape),
+            jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), plug_quat.shape))
+        kd = jnp.linalg.norm(kp_p - kp_s, axis=-1).sum(-1)
+        a_pen = jnp.linalg.norm(state.task.actions, axis=-1)
+        reward = -kd * self.keypoint_reward_scale \
+            - a_pen * self.action_penalty_scale
+        inserted = (jnp.linalg.norm(delta[:, :2], axis=-1) < 0.003) \
+            & (plug_pos[:, 2] < TABLE_Z + 0.005)
+        metrics = dict(state.metrics)
+        metrics["keypoint_dist"] = kd
+        metrics["success"] = inserted.astype(jnp.float32)
+        return obs, reward, jnp.zeros_like(reward), prev_task, metrics
+
+
+class FactoryTaskGears(FactoryBase):
+    """Gears: place the medium gear onto the base-plate shaft.
+
+    Like Insertion, the reference task class is a registered placeholder
+    (`factory_task_gears.py:119-125` empty reward/reset); the env half
+    (`factory_env_gears.py`: base plate + three gears, gears_bias_y -0.1,
+    gears_noise_xy 0.05) and config (obs 32 / act 12 / episode 1024,
+    `FactoryTaskGears.yaml`) are reproduced, with the medium gear as the
+    manipulated object and the family keypoint reward onto the shaft."""
+    num_obs = 32
+    max_episode_length = 1024
+    gears_bias_y = -0.1
+    gears_noise_xy = 0.05
+
+    def __init__(self, num_envs: int = 128, seed: int = 42, **kw):
+        super().__init__(num_envs, seed, **kw)
+        franka = load_franka()
+        gear = load_urdf(
+            _annulus_urdf("gear_medium", GEAR_HOLE, GEAR_OUTER, GEAR_H, 0.05))
+        base = load_urdf(_gear_base_urdf(), fix_base_link=True)
+        self.base_pos = np.array([0.1, 0.0, TABLE_Z], np.float32)
+        scene = compose([
+            (franka, FRANKA_POS + (1.0, 0.0, 0.0, 0.0), "franka/"),
+            (gear, (0.0, self.gears_bias_y, TABLE_Z + GEAR_H,
+                    1.0, 0.0, 0.0, 0.0), "gear/"),
+            (base, tuple(self.base_pos) + (1.0, 0.0, 0.0, 0.0), "base/"),
+        ], name="factory_gears")
+        self._finish_scene(scene)
+        self.gear_body = scene.body_id("gear/gear_medium")
+        self.qG = 0
+        # shaft top center (seated gear target)
+        self.shaft_seat = self.base_pos + np.array(
+            [0.0, 0.0, 0.01 + GEAR_H], np.float32)
+
+    def reset_fn(self, key, params, task):
+        ks = jax.random.split(key, 3)
+        pos = jnp.asarray(FRANKA_FACTORY_DOF) \
+            + 0.05 * (jax.random.uniform(ks[0], (9,)) * 2 - 1) \
+            * jnp.asarray([1.0] * 7 + [0.0, 0.0])
+        pos = pos.at[7:].set(0.04)
+        jq = jnp.zeros(self.model.nj).at[jnp.asarray(self.fr_ids)].set(pos)
+        nxy = jnp.asarray([0.0, self.gears_bias_y]) + self.gears_noise_xy * (
+            jax.random.uniform(ks[1], (2,)) * 2 - 1)
+        yaw = jax.random.uniform(ks[2], (), minval=-np.pi, maxval=np.pi)
+        qg = jnp.concatenate([
+            nxy, jnp.asarray([TABLE_Z + GEAR_H]),
+            Q.from_axis_angle(jnp.asarray([0.0, 0, 1.0]), yaw)])
+        q = jnp.concatenate([qg, jq])
+        return q, jnp.zeros(self.model.nv), params, \
+            FactoryTaskState(jnp.zeros(self.num_actions))
+
+    def post_physics(self, state, prev_task):
+        gp, gq, v, w = jax.vmap(self._eef)(state.q, state.qd)
+        gear_pos = state.q[:, self.qG:self.qG + 3]
+        gear_quat = state.q[:, self.qG + 3:self.qG + 7]
+        gear_v = state.qd[:, 3:6]
+        gear_w = jax.vmap(Q.rotate)(gear_quat, state.qd[:, 0:3])
+        seat = jnp.asarray(self.shaft_seat)
+        obs = jnp.concatenate([
+            gp, gq, v, w, gear_pos, gear_quat, gear_v, gear_w,
+            jnp.broadcast_to(seat, gear_pos.shape) - gear_pos,
+            gear_pos - gp], axis=-1)          # 13+13+3+3 = 32
+        kp_g = jax.vmap(self._keypoints)(gear_pos, gear_quat)
+        kp_s = jax.vmap(self._keypoints)(
+            jnp.broadcast_to(seat, gear_pos.shape),
+            jnp.broadcast_to(jnp.asarray([1.0, 0, 0, 0]), gear_quat.shape))
+        kd = jnp.linalg.norm(kp_g - kp_s, axis=-1).sum(-1)
+        a_pen = jnp.linalg.norm(state.task.actions, axis=-1)
+        reward = -kd * self.keypoint_reward_scale \
+            - a_pen * self.action_penalty_scale
+        seated = (jnp.linalg.norm(gear_pos[:, :2] - seat[None, :2], axis=-1)
+                  < 0.004) & (jnp.abs(gear_pos[:, 2] - seat[2]) < 0.006)
+        metrics = dict(state.metrics)
+        metrics["keypoint_dist"] = kd
+        metrics["success"] = seated.astype(jnp.float32)
         return obs, reward, jnp.zeros_like(reward), prev_task, metrics

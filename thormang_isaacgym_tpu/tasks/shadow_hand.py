@@ -47,7 +47,13 @@ from thormang_isaacgym_tpu.ops.kinematics import forward_kinematics
 from thormang_isaacgym_tpu.ops.sim import Controls, SimParams
 
 HAND_POS = (0.0, 0.0, 0.5)
-OBJECT_START = (0.0, -0.39, 0.60)
+# object spawn: reference hand+(0,-0.39,+0.10) (:308-312). Our re-derived
+# palm top sits at z=0.565, and the reset randomizes the full block
+# orientation — the spawn must clear the block's HALF-DIAGONAL (56 mm for
+# the 65 mm cube), not its half-width, or rotated spawns start corner-deep
+# in the palm and the depenetration push ejects them (multi-second
+# launches observed at z=0.60). 0.625 clears every orientation by 4 mm.
+OBJECT_START = (0.0, -0.39, 0.625)
 GOAL_POS = (0.0, -0.39, 0.56)
 
 NUM_OBS = {"openai": 42, "full_no_vel": 77, "full": 157, "full_state": 211}
@@ -269,14 +275,30 @@ class ShadowHand(Task):
                 frames.vel[:, ft], frames.omega[:, ft])
 
     def _dof_force_estimate(self, state, task):
-        """DOF force sensor view: the implicit drive torque at the current
-        state (enable_actor_dof_force_sensors equivalent, :196)."""
+        """DOF force sensor view: drive torque + tendon limit-spring torque
+        at the current state (enable_actor_dof_force_sensors equivalent,
+        :196; tendon coupling per set_asset_tendon_properties,
+        :252-260)."""
         nf7 = 7 * self.model.n_floating
         nf6 = 6 * self.model.n_floating
         jq = state.q[:, nf7:]
         jqd = state.qd[:, nf6:]
         tau = self.kp * (task.prev_targets - jq) - self.kd * jqd
-        return jnp.clip(tau, -self.effort_lim, self.effort_lim)
+        tau = jnp.clip(tau, -self.effort_lim, self.effort_lim)
+        tendons = self.model.tendons
+        if tendons:
+            coefs = jnp.asarray(np.array([t[0] for t in tendons],
+                                         np.float32))        # (nt, nj)
+            lo = jnp.asarray(np.array([t[1] for t in tendons], np.float32))
+            hi = jnp.asarray(np.array([t[2] for t in tendons], np.float32))
+            L = jq @ coefs.T                                  # (B, nt)
+            Ld = jqd @ coefs.T
+            viol = L - jnp.clip(L, lo[None], hi[None])
+            k = state.params.tendon_stiffness
+            c = state.params.tendon_damping
+            f = -(k * viol + c * Ld * (jnp.abs(viol) > 0))    # (B, nt)
+            tau = tau + f @ coefs
+        return tau
 
     def _full_state(self, state, task):
         """211-dim full_state layout (:531-585)."""
@@ -292,8 +314,16 @@ class ShadowHand(Task):
             .reshape(B, 65)
         ft = jnp.asarray(self.fingertip_ids)
         ft_force = state.net_contact[:, ft]                      # (B, 5, 3)
+        # torque half of the 6-D fingertip wrench (force_sensor tensor,
+        # shadow_hand.py:592-596): the engine tracks net force per body;
+        # the sensor torque is estimated as r x F with r = the tip-radius
+        # lever toward the object (the contact point of a fingertip pad
+        # pressing the held object) — zero when there is no contact
+        d = obj_pos[:, None, :] - fpos                           # (B, 5, 3)
+        d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
+        ft_torque = jnp.cross(d * 0.012, ft_force)               # pad r 12mm
         ft_ft = jnp.concatenate(
-            [ft_force, jnp.zeros_like(ft_force)], axis=-1).reshape(B, 30)
+            [ft_force, ft_torque], axis=-1).reshape(B, 30)
         return jnp.concatenate([
             _unscale(jq, self.dof_lower, self.dof_upper),
             self.vel_obs_scale * jqd,
