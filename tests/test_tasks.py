@@ -177,3 +177,27 @@ def test_gogoro_paper_rollout():
     # rewards clipped non-negative unless fallen (:760-761)
     r = np.asarray(state.reward)
     assert ((r >= 0.0) | (r == -1.0)).all()
+
+
+def test_humanoid_mjcf_spec():
+    """Classic Humanoid spec via the MJCF importer: nv_humanoid 21 DOFs,
+    obs 110 / act 21 (reference humanoid.py:67-68,143)."""
+    env = tgx.make("HumanoidMJCF", num_envs=2, seed=0)
+    assert env.num_obs == 110 and env.num_actions == 21
+    state = env.reset(jax.random.key(0))
+    for _ in range(10):
+        state = env.step(state, jnp.zeros((2, 21)))
+    # stands under zero action at the default pose
+    assert np.all(np.asarray(state.q[:, 2]) > 0.8)
+    assert np.isfinite(np.asarray(state.obs)).all()
+
+
+def test_mjcf_importer_ant():
+    """nv_ant MJCF parses to the 8-DOF floating ant with gear table."""
+    import os as _os
+    from thormang_isaacgym_tpu.models.mjcf import load_mjcf
+    path = _os.path.join(_os.path.dirname(__file__), "..", "assets",
+                         "mjcf", "nv_ant.xml")
+    m = load_mjcf(_os.path.abspath(path))
+    assert m.nj == 8 and m.floating
+    assert (np.asarray(m.motor_efforts) == 15.0).all()

@@ -17,6 +17,7 @@ TASK_MAP = {
                     "GogoroPaper"),
     "Ant": ("thormang_isaacgym_tpu.tasks.ant", "Ant"),
     "Humanoid": ("thormang_isaacgym_tpu.tasks.humanoid", "Humanoid"),
+    "HumanoidMJCF": ("thormang_isaacgym_tpu.tasks.humanoid", "HumanoidMJCF"),
     "Anymal": ("thormang_isaacgym_tpu.tasks.anymal", "Anymal"),
     "AnymalTerrain": ("thormang_isaacgym_tpu.tasks.anymal_terrain", "AnymalTerrain"),
     "BallBalance": ("thormang_isaacgym_tpu.tasks.ball_balance", "BallBalance"),

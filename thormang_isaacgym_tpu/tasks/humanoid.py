@@ -204,3 +204,53 @@ class Humanoid(Task):
         metrics["torso_height"] = pos[:, 2]
         metrics["up_proj"] = up_proj
         return obs, reward, fallen.astype(jnp.float32), task, metrics
+
+
+class HumanoidMJCF(Humanoid):
+    """The upstream classic Humanoid spec: nv_humanoid MJCF, 21 DOFs,
+    obs 110 / act 21 (`/root/reference/isaacgymenvs/tasks/humanoid.py:67-68,
+    143`). The obs layout generalization above (12 + 4N + 14) lands exactly
+    on 110 at N=21. Motor efforts come from the MJCF actuator gears
+    (humanoid.py:161-162) instead of the THORMANG 300 Nm cap."""
+
+    termination_height = 0.8
+
+    def __init__(self, num_envs: int = 4096, seed: int = 42,
+                 randomize: bool = False, **_):
+        Task.__init__(self, num_envs, seed)
+        from thormang_isaacgym_tpu.models.mjcf import load_mjcf
+        path = os.path.join(os.path.dirname(__file__), "..", "..",
+                            "assets", "mjcf", "nv_humanoid.xml")
+        model = load_mjcf(os.path.abspath(path))
+        d = model._defaults
+        d["drive_mode"] = np.full(model.nj, DRIVE_EFFORT, np.int32)
+        d["drive_effort_limit"] = np.full(model.nj, 1e6, np.float32)
+        self.model = model
+        self.num_actions = model.nj                      # 21
+        self.num_obs = 12 + 4 * model.nj + 14            # 110
+        assert self.num_obs == 110 and self.num_actions == 21
+        self.sim_params = SimParams(
+            dt=0.0166, substeps=4, gravity=(0.0, 0.0, -9.81),
+            contact_stiffness=4.0e4, contact_damping=1.5e3,
+            friction_vel=0.05, plane_friction=1.0)
+        self.dt = self.sim_params.dt
+        self.motor_efforts = jnp.asarray(model.motor_efforts)
+        self.max_motor_effort = float(np.max(model.motor_efforts))
+        dlower = np.array(d["dof_lower"], np.float32)
+        dupper = np.array(d["dof_upper"], np.float32)
+        self.dof_lower = jnp.asarray(dlower)
+        self.dof_upper = jnp.asarray(dupper)
+        self._init_jq = common.initial_dof_pos(dlower, dupper)
+        self.spawn_z = common.solve_spawn_height(model, self._init_jq,
+                                                 clearance=0.02)
+        self.feet = [model.body_id("right_foot"), model.body_id("left_foot")]
+        self.targets = jnp.array([1000.0, 0.0, 0.0])
+        self.basis_vec0 = jnp.array([1.0, 0.0, 0.0])
+        self.basis_vec1 = jnp.array([0.0, 0.0, 1.0])
+        if randomize:
+            self.dr_config = {
+                "frequency": 600,
+                "actor_params": {"humanoid": {"rigid_body_properties": {
+                    "mass": {"range": [0.9, 1.1], "operation": "scaling",
+                             "distribution": "uniform"}}}},
+            }
