@@ -105,3 +105,28 @@ class TestGogoro:
             # frame; heading is random, so check the speed magnitude)
             speed = np.linalg.norm(np.asarray(final.qd[mature, 3:5]), axis=1)
             assert np.median(speed) > 0.3, speed
+
+
+def test_nan_quarantine():
+    """Failure detection (SURVEY.md §5): a non-finite physics state rolls
+    back to the pre-step state, zeroes the reward, and force-resets the
+    env instead of poisoning the batch."""
+    import dataclasses
+    import thormang_isaacgym_tpu as tgx
+
+    env = tgx.make("Cartpole", num_envs=4, seed=0)
+    state = env.reset(jax.random.key(0))
+    q = np.asarray(state.q).copy()
+    q[1, 0] = np.nan                       # corrupt env 1's carried state
+    state = dataclasses.replace(state, q=jnp.asarray(q),
+                                progress=state.progress + 5)
+    state = env.step(state, jnp.zeros((4, 1)))
+    # the corrupted env is repaired in place: swapped to a fresh reset
+    # state (progress restarts), everything finite, batch unpoisoned
+    assert bool(jnp.isfinite(state.obs).all())
+    assert bool(jnp.isfinite(state.q).all())
+    assert bool(jnp.isfinite(state.reward).all())
+    assert int(state.progress[1]) == 1     # restarted
+    assert int(state.progress[0]) == 6     # others unaffected
+    state = env.step(state, jnp.zeros((4, 1)))
+    assert bool(jnp.isfinite(state.obs).all())

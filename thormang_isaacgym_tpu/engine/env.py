@@ -275,7 +275,14 @@ class VecEnv:
         qd = mask_select(qd_r, state.qd)
         params = mask_select(params_r, state.params)
         task_state = mask_select(task_r, state.task)
-        progress = jnp.where(do_reset, 0, state.progress)
+        # pre-step sanitize: a corrupted (non-finite) carried state swaps in
+        # the freshly-sampled reset state, so the quarantine rollback below
+        # always has a finite anchor
+        bad_pre = jnp.logical_not(
+            jnp.isfinite(q).all(-1) & jnp.isfinite(qd).all(-1))
+        q = jnp.where(bad_pre[:, None], q_r, q)
+        qd = jnp.where(bad_pre[:, None], qd_r, qd)
+        progress = jnp.where(do_reset | bad_pre, 0, state.progress)
         last_rand = state.last_rand
 
         # frequency-gated DR on reset (vec_task.py:547-566)
@@ -313,15 +320,28 @@ class VecEnv:
         # ---- 3. pre-physics + physics ----
         ctrl, wrench, task_state = task.pre_physics(state, actions)
         state = dataclasses.replace(state, task=task_state)
-        q, qd = state.q, state.qd
+        q_pre, qd_pre = state.q, state.qd
+        q, qd = q_pre, qd_pre
         for _ in range(task.control_freq_inv):
             q, qd, net = self.physics_step(state.params, q, qd, ctrl, wrench)
+        # failure quarantine (SURVEY.md §5 failure detection): a numeric
+        # blowup in one env must not poison the batch — non-finite states
+        # roll back to the pre-step state (finite by induction), the env is
+        # force-reset, and its reward is zeroed below
+        blown = jnp.logical_not(
+            jnp.isfinite(q).all(-1) & jnp.isfinite(qd).all(-1))
+        q = jnp.where(blown[:, None], q_pre, q)
+        qd = jnp.where(blown[:, None], jnp.zeros_like(qd), qd)
+        net = jnp.where(blown[:, None, None], jnp.zeros_like(net), net)
         progress = state.progress + 1
         state = dataclasses.replace(state, q=q, qd=qd, progress=progress,
                                     net_contact=net)
 
         # ---- 4. post-physics: obs / reward / done ----
         obs, reward, done_task, task_state, metrics = task.post_physics(state, task_state)
+        reward = jnp.where(blown, 0.0, reward) if reward.ndim == 1 \
+            else jnp.where(blown[:, None], 0.0, reward)
+        done_task = jnp.where(blown, 1.0, done_task.astype(jnp.float32))
         timeout = (progress >= task.max_episode_length - 1)
         done = jnp.where(timeout, 1.0, done_task.astype(jnp.float32))
 
