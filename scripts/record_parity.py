@@ -19,15 +19,21 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SPECS = [
-    # (task, train_yaml_name, num_envs, epochs, final-10-epoch reward floor)
-    ("Cartpole", "CartpolePPO", 64, 60, 50.0),
-    ("Ant", "AntPPO", 64, 60, 1.5),
-    ("Gogoro", "GogoroPPO", 64, 50, 1.0),
+    # (task, train_yaml_name, num_envs, epochs, final reward_mean floor)
+    # floors sit ~25% under healthy reduced-scale runs (reward_mean is the
+    # per-step shaped reward, not the episode return)
+    ("Cartpole", "CartpolePPO", 64, 60, 0.75),
+    ("Ant", "AntPPO", 64, 60, 0.55),
+    ("Gogoro", "GogoroPPO", 64, 50, 0.4),
 ]
 
 
 def main(quick=False):
     import jax
+    # the environment preloads jax with the TPU plugin (sitecustomize);
+    # parity curves are a CPU-reproducible artifact — force the backend
+    # before any computation
+    jax.config.update("jax_platforms", "cpu")
 
     from thormang_isaacgym_tpu.learn.ppo import PPO, PPOConfig
     from thormang_isaacgym_tpu.tasks import make

@@ -1,12 +1,21 @@
 """Multi-agent framework + MA_OP3 tests. Reference:
 tasks/base/multi_vec_task.py:102-125 (per-agent buffer shapes),
-tasks/MA_OP3.py (two OP3s + table), completed per the task docstring."""
+tasks/MA_OP3.py (two OP3s + table), completed per the task docstring.
+
+The 47-body two-robot scene's stepped-physics compile takes tens of
+minutes on the 2-vCPU CI box, so the rollout/training tests are gated
+behind THORMANG_SLOW_TESTS=1 (same policy as the hand rollouts before the
+compile cache); reset-path and structural checks always run."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from thormang_isaacgym_tpu.tasks import make
+
+SLOW = os.environ.get("THORMANG_SLOW_TESTS") != "1"
 
 
 @pytest.fixture(scope="module")
@@ -38,6 +47,7 @@ def test_ma_buffer_shapes(env, state0):
     assert state0.done.shape == (4,)
 
 
+@pytest.mark.skipif(SLOW, reason="47-body scene step compile; THORMANG_SLOW_TESTS=1")
 def test_ma_op3_rollout(env, state0):
     st = state0
     key = jax.random.key(1)
@@ -62,6 +72,7 @@ def test_ma_agents_mirror(env, state0):
     np.testing.assert_allclose(obs[:, :, 9:31], 0.0, atol=1e-4)
 
 
+@pytest.mark.skipif(SLOW, reason="47-body scene train compile; THORMANG_SLOW_TESTS=1")
 def test_mappo_trains(env):
     from thormang_isaacgym_tpu.learn.ma import MAPPO
     from thormang_isaacgym_tpu.learn.ppo import PPOConfig
