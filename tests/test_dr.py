@@ -2,6 +2,8 @@
 `randomization_params` schema (`vec_task.py:496-768`): schedules, correlated
 obs/action noise, friction buckets, setup_only, per-actor masks, actor scale,
 and YAML -> engine end-to-end through `make()`."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -131,3 +133,61 @@ task:
     state = env.reset(jax.random.key(1))
     m = np.asarray(state.params.body_mass)
     assert np.unique(m[:, -1]).size > 1
+
+
+def test_tendon_mask_per_actor():
+    """Per-actor tendon masks select only the named actor's tendons (the r3
+    mask had `else 1.0` on both branches — a no-op that never masked)."""
+    import dataclasses
+
+    from thormang_isaacgym_tpu.engine.dr import _actor_masks
+
+    m = Cartpole(num_envs=1).model
+    m = dataclasses.replace(
+        m,
+        body_names=tuple("a/" + n for n in m.body_names),
+        joint_names=tuple("a/" + n for n in m.joint_names),
+        tendons=(((1.0,) * m.nj, -0.1, 0.1, "a/t0"),
+                 ((1.0,) * m.nj, -0.1, 0.1, "b/t1")),
+    )
+    masks = _actor_masks(m, "a")
+    assert masks["tendon"] is not None
+    np.testing.assert_array_equal(masks["tendon"], [1.0, 0.0])
+
+
+def test_correlated_dr_noise_cross_process_deterministic():
+    """The correlated-noise PRNG stream must not depend on Python's
+    process-salted hash() (engine/env.py r3 used `hash(name)`), so replays
+    with correlated DR reproduce across interpreter restarts."""
+    import subprocess
+    import sys
+
+    snippet = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import thormang_isaacgym_tpu as tgx
+dr = {
+    "frequency": 10,
+    "observations": {"range": [0, 0.002], "range_correlated": [0, 0.001],
+                     "operation": "additive", "distribution": "gaussian"},
+    "actions": {"range": [0.0, 0.05], "range_correlated": [0, 0.015],
+                "operation": "additive", "distribution": "gaussian"},
+}
+cfg = {"task": {"randomize": True, "randomization_params": dr}}
+env = tgx.make("Cartpole", num_envs=4, seed=0, cfg=cfg)
+state = env.reset(jax.random.key(0))
+print("CORRSUM", float(np.asarray(state.dr_corr["obs"]).sum()),
+      float(np.asarray(state.dr_corr["act"]).sum()))
+"""
+    outs = []
+    for seed in ("0", "1"):
+        env_vars = dict(os.environ, PYTHONHASHSEED=seed)
+        r = subprocess.run([sys.executable, "-c", snippet], env=env_vars,
+                           capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        line = [l for l in r.stdout.splitlines() if l.startswith("CORRSUM")]
+        assert line, r.stdout
+        outs.append(line[0])
+    assert outs[0] == outs[1], f"hash-salted corr stream: {outs}"

@@ -201,3 +201,53 @@ def test_mjcf_importer_ant():
     m = load_mjcf(_os.path.abspath(path))
     assert m.nj == 8 and m.floating
     assert (np.asarray(m.motor_efforts) == 15.0).all()
+
+
+def test_mjcf_fk_zero_pose_matches_cumulative_body_pos():
+    """FK regression for the MJCF joint-anchor handling (ADVICE r3): at the
+    zero pose every body frame must sit at the cumulative MJCF body `pos`
+    down the chain plus that body's (shared) joint anchor. The r3 importer
+    double-counted anchors, compressing nv_humanoid's legs by ~0.4 m
+    (right_foot at z=-0.768 instead of -1.178 relative to the torso)."""
+    import xml.etree.ElementTree as ET
+
+    from thormang_isaacgym_tpu.models.mjcf import load_mjcf
+    from thormang_isaacgym_tpu.ops.kinematics import forward_kinematics
+
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        "mjcf", "nv_humanoid.xml")
+    path = os.path.abspath(path)
+    m = load_mjcf(path)
+
+    # expected frame = cumulative <body pos> + first joint anchor
+    # (all nv_humanoid body frames are axis-aligned: no quat/euler attrs)
+    expected = {}
+
+    def walk(el, base):
+        pos = base + np.array([float(x) for x in
+                               el.get("pos", "0 0 0").split()])
+        jel = el.find("joint")
+        anchor = np.zeros(3)
+        if jel is not None and jel.get("type") != "free":
+            anchor = np.array([float(x) for x in
+                               jel.get("pos", "0 0 0").split()])
+        expected[el.get("name")] = pos + anchor
+        for c in el.findall("body"):
+            walk(c, pos)
+
+    root = ET.parse(path).getroot().find("worldbody").find("body")
+    walk(root, np.zeros(3))
+    root_pos = expected[root.get("name")]
+
+    nq = 7 + m.nj
+    q = jnp.zeros(nq).at[3].set(1.0)  # identity root pose at origin
+    frames = forward_kinematics(m, q, jnp.zeros(6 + m.nj))
+    pos = np.asarray(frames.pos)
+    name_to_idx = {n: i for i, n in enumerate(m.body_names)}
+    for name, exp in expected.items():
+        i = name_to_idx[name]
+        np.testing.assert_allclose(
+            pos[i], exp - root_pos, atol=1e-5,
+            err_msg=f"body {name}: FK {pos[i]} != MJCF {exp - root_pos}")
+    # the advisor's concrete check: right_foot ~0.41 m below r3's value
+    assert abs(pos[name_to_idx["right_foot"]][2] - (-1.178)) < 1e-3

@@ -136,7 +136,7 @@ def _actor_masks(model: RobotModel | None, actor_name: str):
     dof_m = np.array([1.0 if jn.startswith(prefix) else 0.0
                       for jn in model.joint_names], np.float32)
     tendon_m = np.array([1.0 if (len(t) > 3 and str(t[3]).startswith(prefix))
-                         else 1.0 for t in model.tendons], np.float32) \
+                         else 0.0 for t in model.tendons], np.float32) \
         if model.tendons else np.zeros(0, np.float32)
     return {"body": body_m, "geom": geom_m, "dof": dof_m, "tendon": tendon_m}
 

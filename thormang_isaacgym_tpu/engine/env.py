@@ -200,7 +200,10 @@ class VecEnv:
             spec = cfg.get({"obs": "observations", "act": "actions"}[name])
             if fn is None or not spec or "range_correlated" not in spec:
                 continue
-            k = jax.random.fold_in(key, hash(name) % 1000)
+            # fixed per-channel salts — Python hash() is salted per process
+            # (PYTHONHASHSEED) and would break cross-process replay
+            # determinism of correlated DR noise
+            k = jax.random.fold_in(key, {"obs": 101, "act": 102}[name])
             if spec.get("distribution", "uniform") in ("gaussian", "normal"):
                 out[name] = jax.random.normal(k, (B, dim))
             else:

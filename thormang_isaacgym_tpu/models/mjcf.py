@@ -130,8 +130,11 @@ def load_mjcf(path_or_string: str, *, name: str | None = None,
                     s = math.sqrt((1 + c) * 2)
                     quat = np.array([s / 2, *(v / s)])
             r = size[0]
-            gsize, vol = (r, length / 2), math.pi * r * r * length \
-                + (4 / 3) * math.pi * r ** 3
+            gsize = (r, length / 2)
+            # cylinder volume has no end caps; capsule adds the sphere
+            vol = math.pi * r * r * length
+            if gt != "cylinder":
+                vol += (4 / 3) * math.pi * r ** 3
             gtype = _GEOM_TYPES[gt] if gt in ("capsule", "cylinder") \
                 else GEOM_CAPSULE
         else:
@@ -209,11 +212,17 @@ def load_mjcf(path_or_string: str, *, name: str | None = None,
             last = k == n - 1
             nm = bname if last else f"{bname}__j{k}"
             jt = joints[k] if joints else None
+            # `pos` is the full joint-frame offset in the parent link's
+            # frame: the shared anchor is folded in for the FIRST chain
+            # link; subsequent composite links sit at their own joint pos
+            # relative to the shared anchor (zero when anchors coincide,
+            # as in the classic nv_* models). Assembly below uses `pos`
+            # directly — j['pos'] must NOT be added again (it is already
+            # accounted for here).
             bodies.append(dict(
                 name=nm, parent=chain_parent,
-                # body-frame offset + anchor on the FIRST chain link;
-                # intermediate links sit at the joint anchor
-                pos=(bpos + anchor) if k == 0 else np.zeros(3),
+                pos=(bpos + anchor) if k == 0
+                else (joints[k]["pos"] - anchor),
                 quat=bquat if k == 0 else np.array([1.0, 0, 0, 0]),
                 joint=jt, mass=0.0, com=np.zeros(3), inertia=np.zeros(3),
                 real=last,
@@ -294,8 +303,10 @@ def load_mjcf(path_or_string: str, *, name: str | None = None,
         jnames.append(j["name"])
         jtypes.append(1 if j["type"] == "hinge" else 2)
         jaxes.append(tuple((j["axis"] / np.linalg.norm(j["axis"])).tolist()))
-        # joint anchor: body frame + joint pos
-        jpos.append(tuple((b["pos"] + j["pos"]).tolist()))
+        # joint-frame offset: b['pos'] already includes the joint anchor
+        # (folded in during parse_body) — adding j['pos'] here again
+        # double-counted anchors and compressed long chains (ADVICE r3).
+        jpos.append(tuple(b["pos"].tolist()))
         jquat.append(tuple(b["quat"].tolist()))
         lo.append(j["lo"])
         hi.append(j["hi"])

@@ -93,6 +93,11 @@ class Trifinger(Task):
     use_keypoints = True
     finger_move_penalty_weight = -0.5
     finger_reach_object_weight = -250.0
+    # reach-reward schedule window in aggregate env steps
+    # (reference trifinger.py:1313-1314,1335: ft_sched_val gates the reach
+    # term to [0, 5e7] env_steps_count = frame_count * num_envs)
+    ft_sched_start = 0.0
+    ft_sched_end = 5e7
     object_dist_weight = 2000.0
     object_rot_weight = 2000.0
     position_tolerance = 0.02
@@ -253,7 +258,13 @@ class Trifinger(Task):
         prev_n = jnp.linalg.norm(
             t.last_fingertip[:, :, 0:3] - t.last_object[:, None, 0:3],
             axis=-1)
-        reach = self.finger_reach_object_weight * \
+        # ft_sched_val gate (trifinger.py:1335): reach shaping switches off
+        # once aggregate env steps leave [ft_sched_start, ft_sched_end].
+        # env_steps_count = global control steps * num_envs (:1253-1255).
+        env_steps = state.global_step.astype(jnp.float32) * B
+        sched = ((env_steps >= self.ft_sched_start)
+                 & (env_steps <= self.ft_sched_end)).astype(jnp.float32)
+        reach = self.finger_reach_object_weight * sched * \
             jnp.sum(curr_n - prev_n, axis=-1)
         if self.use_keypoints:
             kp_obj = gen_keypoints(obj[:, 0:3], obj[:, 3:7])
