@@ -1,13 +1,20 @@
-"""Record PARITY_r03: reduced-scale learning-curve regressions at reference
-hyperparameters (VERDICT r2 item 10; BASELINE.json "PPO return parity vs
-the reference under fixed seed").
+"""Record PARITY_r04: reduced-scale learning-curve regressions at reference
+hyperparameters (BASELINE.json "PPO return parity vs the reference under
+fixed seed"; VERDICT r3 item 5 widened coverage + stricter floors).
 
 For each task: train with the knobs from its reference train YAML (env
 count reduced; everything algorithmic unchanged), record the reward curve,
-and write PARITY_r03.json at the repo root. tests/test_parity.py asserts
+and write PARITY_r04.json at the repo root. tests/test_parity.py asserts
 the committed curve thresholds stay reproducible in CI.
 
-Run: python scripts/record_parity.py [--quick]
+Pass metric (r4, stricter than r3): a run passes only if
+  1. the LAST recorded reward_mean >= floor (not the mean of the tail,
+     which hid the r3 Gogoro epoch-49 collapse), AND
+  2. the max-to-last drawdown is bounded: last >= drawdown_frac * peak
+     whenever peak > floor (a curve that ends collapsing fails even if it
+     once cleared the floor).
+
+Run: python scripts/record_parity.py [--quick] [--only TaskA,TaskB]
 """
 from __future__ import annotations
 
@@ -18,17 +25,22 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+DRAWDOWN_FRAC = 0.4
+
 SPECS = [
-    # (task, train_yaml_name, num_envs, epochs, final reward_mean floor)
+    # (task, train_yaml_name, num_envs, epochs, last-point reward floor)
     # floors sit ~25% under healthy reduced-scale runs (reward_mean is the
     # per-step shaped reward, not the episode return)
     ("Cartpole", "CartpolePPO", 64, 60, 0.75),
     ("Ant", "AntPPO", 64, 60, 0.55),
     ("Gogoro", "GogoroPPO", 64, 50, 0.4),
+    ("Humanoid", "HumanoidPPO", 64, 60, 0.5),
+    ("AnymalTerrain", "AnymalTerrainPPO", 64, 50, -0.05),
+    ("BallBalance", "BallBalancePPO", 64, 60, 0.1),
 ]
 
 
-def main(quick=False):
+def main(quick=False, only=None):
     import jax
     # the environment preloads jax with the TPU plugin (sitecustomize);
     # parity curves are a CPU-reproducible artifact — force the backend
@@ -39,10 +51,12 @@ def main(quick=False):
     from thormang_isaacgym_tpu.tasks import make
     from thormang_isaacgym_tpu.utils.config import CFG_ROOT, load_yaml
 
-    out = {"schema": "parity_curve_v1", "recorded": time.strftime("%F"),
-           "tasks": {}}
+    out = {"schema": "parity_curve_v2", "recorded": time.strftime("%F"),
+           "drawdown_frac": DRAWDOWN_FRAC, "tasks": {}}
     for task, yaml_name, n, epochs, floor in SPECS:
         if quick and task != "Cartpole":
+            continue
+        if only and task not in only:
             continue
         t0 = time.time()
         tcfg = load_yaml(os.path.join(CFG_ROOT, "train",
@@ -59,20 +73,30 @@ def main(quick=False):
         algo = PPO(env, cfg)
         ts, env_state, hist = algo.train(epochs, seed=7, log_every=5)
         curve = [(h["epoch"], round(h["reward_mean"], 4)) for h in hist]
-        final = sum(r for _, r in curve[-2:]) / 2
+        diag = [(h["epoch"], round(h.get("lr", 0.0), 6),
+                 round(h.get("kl", 0.0), 5)) for h in hist]
+        last = curve[-1][1]
+        peak = max(r for _, r in curve)
+        # drawdown gate only bites when the curve actually rose above floor
+        dd_ok = (peak <= floor) or (last >= DRAWDOWN_FRAC * peak)
+        passed = bool(last >= floor and dd_ok)
         out["tasks"][task] = {
             "train_cfg": yaml_name, "num_envs": n, "epochs": epochs,
-            "curve": curve, "final_reward_mean": round(final, 4),
-            "floor": floor, "passed": bool(final >= floor),
+            "curve": curve, "lr_kl": diag,
+            "last_reward_mean": round(last, 4), "peak": round(peak, 4),
+            "floor": floor, "passed": passed,
             "wall_s": round(time.time() - t0, 1),
         }
-        print(task, "final", final, "floor", floor,
-              "PASS" if final >= floor else "FAIL", flush=True)
-    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_r03.json")
+        print(task, "last", last, "peak", peak, "floor", floor,
+              "PASS" if passed else "FAIL", flush=True)
+    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_r04.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", os.path.abspath(path))
 
 
 if __name__ == "__main__":
-    main(quick="--quick" in sys.argv)
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    main(quick="--quick" in sys.argv, only=only)

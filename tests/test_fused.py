@@ -168,3 +168,213 @@ def test_fused_franka_fixed_base():
         np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
                                    atol=2e-3, rtol=2e-3)
         q, qd = qa, qda
+
+
+def _pair_scene():
+    """Synthetic multi-actor scene exercising every pair kind the fused v2
+    narrowphase implements: fixed box table + floating ball (sphere-box),
+    floating capsule (capbox + capcap + sphere-capsule), floating cube
+    (boxbox + sphere-box)."""
+    from thormang_isaacgym_tpu.models import load_urdf
+    from thormang_isaacgym_tpu.models.scene import compose
+
+    ball = load_urdf("""
+<robot name="ball"><link name="b"><inertial><mass value="0.3"/>
+  <inertia ixx="0.0005" iyy="0.0005" izz="0.0005" ixy="0" ixz="0" iyz="0"/>
+  </inertial>
+  <collision><geometry><sphere radius="0.05"/></geometry></collision>
+</link></robot>""")
+    cap = load_urdf("""
+<robot name="cap"><link name="c"><inertial><mass value="0.4"/>
+  <inertia ixx="0.001" iyy="0.001" izz="0.0004" ixy="0" ixz="0" iyz="0"/>
+  </inertial>
+  <collision><geometry><capsule radius="0.04" length="0.2"/></geometry>
+  </collision>
+</link></robot>""")
+    cube = load_urdf("""
+<robot name="cube"><link name="k"><inertial><mass value="0.5"/>
+  <inertia ixx="0.0008" iyy="0.0008" izz="0.0008" ixy="0" ixz="0" iyz="0"/>
+  </inertial>
+  <collision><geometry><box size="0.12 0.12 0.12"/></geometry></collision>
+</link></robot>""")
+    table = load_urdf("""
+<robot name="table"><link name="t"><inertial><mass value="10.0"/>
+  <inertia ixx="1" iyy="1" izz="1" ixy="0" ixz="0" iyz="0"/></inertial>
+  <collision><geometry><box size="0.8 0.8 0.1"/></geometry></collision>
+</link></robot>""", fix_base_link=True)
+    scene = compose([
+        (ball, (0.05, 0.02, 0.62, 1, 0, 0, 0)),
+        (cap, (-0.04, 0.05, 0.60, 0.9238795, 0, 0.3826834, 0), "capA/"),
+        (cap, (0.08, 0.06, 0.63, 1, 0, 0, 0), "capB/"),
+        (cube, (0.02, -0.06, 0.64, 1, 0, 0, 0)),
+        (table, (0, 0, 0.5, 1, 0, 0, 0)),
+    ])
+    return scene
+
+
+@pytest.mark.skipif(SLOW, reason="box-box/capbox narrowphase emulation is a "
+                    "~30k-op XLA CPU compile; set THORMANG_SLOW_TESTS=1")
+def test_fused_pair_scene_matches_xla():
+    """Fused v2: actor-pair collision (sphere/capcap/capbox/boxbox) and the
+    implicit added-inertia contact reaction, cross-checked against the XLA
+    collide path on a cluster of bodies dropped onto a fixed table."""
+    from thormang_isaacgym_tpu.ops import collide as collide_mod
+    from thormang_isaacgym_tpu.ops.fused import _pair_candidate_count
+
+    model = _pair_scene()
+    kinds = {k for (_, _, k) in collide_mod._pairs(model)}
+    assert {"sphere", "capcap", "capbox", "boxbox"} <= kinds
+    assert fused_eligible(model, None, None)
+    assert _pair_candidate_count(model) <= 256
+    sp = SimParams(dt=1 / 60, substeps=2, contact_stiffness=2e4,
+                   contact_damping=500.0)
+    xla_step = jax.jit(build_step_fn(model, sp, fused=False))
+    fused_step = jax.jit(build_fused_step_fn(model, sp, interpret=True))
+    B = 4
+    params = model.default_params().batch(B)
+    key = jax.random.key(11)
+    k1, k2 = jax.random.split(key)
+    q = jnp.tile(jnp.asarray(np.concatenate([
+        np.array([0.05, 0.02, 0.62, 1, 0, 0, 0]),
+        np.array([-0.04, 0.05, 0.60, 0.9238795, 0, 0.3826834, 0]),
+        np.array([0.08, 0.06, 0.63, 1, 0, 0, 0]),
+        np.array([0.02, -0.06, 0.64, 1, 0, 0, 0]),
+    ]), np.float32)[None], (B, 1))
+    qd = 0.1 * jax.random.normal(k2, (B, model.nv))
+    ctrl = zero_controls(model, B)
+    wrench = jnp.zeros((B, model.nb, 6))
+    qa, qda = q, qd
+    qb, qdb = q, qd
+    contact_seen = False
+    for i in range(25):
+        qa, qda, neta = xla_step(params, qa, qda, ctrl, wrench)
+        qb, qdb, netb = fused_step(params, qb, qdb, ctrl, wrench)
+        contact_seen = contact_seen or float(np.abs(np.asarray(neta)).max()) > 0.5
+        np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
+                                   atol=5e-3, rtol=5e-3,
+                                   err_msg=f"step {i}")
+        np.testing.assert_allclose(np.asarray(neta), np.asarray(netb),
+                                   atol=1.0, rtol=1e-2, err_msg=f"step {i}")
+    assert contact_seen  # the scene must actually collide
+
+
+def test_fused_tendon_matches_xla():
+    """Fused v2 tendon springs (ShadowHand J0/J1 coupling mechanism) vs the
+    XLA passive_forces tendon block."""
+    import dataclasses
+
+    from thormang_isaacgym_tpu.models import load_urdf
+
+    model = load_urdf("""
+<robot name="twolink">
+  <link name="base"><inertial><mass value="1.0"/>
+    <inertia ixx="0.01" iyy="0.01" izz="0.01" ixy="0" ixz="0" iyz="0"/>
+    </inertial></link>
+  <link name="l1"><inertial><origin xyz="0 0 -0.1"/><mass value="0.2"/>
+    <inertia ixx="0.001" iyy="0.001" izz="0.0005" ixy="0" ixz="0" iyz="0"/>
+    </inertial></link>
+  <link name="l2"><inertial><origin xyz="0 0 -0.1"/><mass value="0.1"/>
+    <inertia ixx="0.0005" iyy="0.0005" izz="0.0002" ixy="0" ixz="0"
+    iyz="0"/></inertial></link>
+  <joint name="j1" type="revolute"><parent link="base"/><child link="l1"/>
+    <origin xyz="0 0 -0.05"/><axis xyz="0 1 0"/>
+    <limit lower="-1.5" upper="1.5" effort="5" velocity="10"/></joint>
+  <joint name="j2" type="revolute"><parent link="l1"/><child link="l2"/>
+    <origin xyz="0 0 -0.2"/><axis xyz="0 1 0"/>
+    <limit lower="-1.5" upper="1.5" effort="5" velocity="10"/></joint>
+</robot>""", fix_base_link=True)
+    d = dict(model._defaults)
+    d["tendon_stiffness"] = np.array([25.0], np.float32)
+    d["tendon_damping"] = np.array([0.2], np.float32)
+    model = dataclasses.replace(
+        model, tendons=(((1.0, -1.0), -0.05, 0.05, "t0"),))
+    object.__setattr__(model, "_defaults", d)
+    sp = SimParams(dt=1 / 60, substeps=2)
+    xla_step = jax.jit(build_step_fn(model, sp, fused=False))
+    fused_step = jax.jit(build_fused_step_fn(model, sp, interpret=True))
+    B = 3
+    params = model.default_params().batch(B)
+    q = jnp.asarray([[0.0, 0.4], [0.3, -0.3], [-0.2, 0.2]], jnp.float32)
+    qd = jnp.zeros((B, model.nv))
+    ctrl = zero_controls(model, B)
+    wrench = jnp.zeros((B, model.nb, 6))
+    qa, qda = q, qd
+    qb, qdb = q, qd
+    for _ in range(10):
+        qa, qda, _ = xla_step(params, qa, qda, ctrl, wrench)
+        qb, qdb, _ = fused_step(params, qb, qdb, ctrl, wrench)
+    # tendon limit spring must have pulled |q1 - q2| toward the 0.05 band
+    assert float(np.abs(np.asarray(qa)[:, 0] - np.asarray(qa)[:, 1]).max()) \
+        < 0.75
+    np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
+                               atol=2e-3, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(qda), np.asarray(qdb),
+                               atol=2e-2, rtol=2e-2)
+
+
+def test_fused_pair_capsule_scene_matches_xla():
+    """Default-CI fused v2 cross-check on a box-free pair scene (sphere +
+    capsule narrowphase + the added-inertia reaction): a ball and two
+    capsules dropped onto a fixed horizontal capsule bar. The box kinds
+    compile too slowly for the 2-vCPU CI and run in the gated
+    test_fused_pair_scene_matches_xla instead."""
+    from thormang_isaacgym_tpu.models import load_urdf
+    from thormang_isaacgym_tpu.models.scene import compose
+    from thormang_isaacgym_tpu.ops import collide as collide_mod
+
+    ball = load_urdf("""
+<robot name="ball"><link name="b"><inertial><mass value="0.3"/>
+  <inertia ixx="0.0005" iyy="0.0005" izz="0.0005" ixy="0" ixz="0" iyz="0"/>
+  </inertial>
+  <collision><geometry><sphere radius="0.05"/></geometry></collision>
+</link></robot>""")
+    cap = load_urdf("""
+<robot name="cap"><link name="c"><inertial><mass value="0.4"/>
+  <inertia ixx="0.001" iyy="0.001" izz="0.0004" ixy="0" ixz="0" iyz="0"/>
+  </inertial>
+  <collision><geometry><capsule radius="0.04" length="0.2"/></geometry>
+  </collision>
+</link></robot>""")
+    bar = load_urdf("""
+<robot name="bar"><link name="t"><inertial><mass value="10.0"/>
+  <inertia ixx="1" iyy="1" izz="1" ixy="0" ixz="0" iyz="0"/></inertial>
+  <collision><geometry><capsule radius="0.08" length="0.8"/></geometry>
+  </collision>
+</link></robot>""", fix_base_link=True)
+    # bar axis horizontal (rot about y by 90deg)
+    model = compose([
+        (ball, (0.0, 0.02, 0.78, 1, 0, 0, 0)),
+        (cap, (-0.02, 0.05, 0.75, 0.9238795, 0, 0.3826834, 0), "capA/"),
+        (cap, (0.04, 0.03, 0.80, 1, 0, 0, 0), "capB/"),
+        (bar, (0, 0, 0.6, 0.7071068, 0, 0.7071068, 0)),
+    ])
+    kinds = {k for (_, _, k) in collide_mod._pairs(model)}
+    assert kinds == {"sphere", "capcap"}
+    sp = SimParams(dt=1 / 60, substeps=2, contact_stiffness=2e4,
+                   contact_damping=500.0)
+    xla_step = jax.jit(build_step_fn(model, sp, fused=False))
+    fused_step = jax.jit(build_fused_step_fn(model, sp, interpret=True))
+    B = 4
+    params = model.default_params().batch(B)
+    key = jax.random.key(5)
+    q = jnp.tile(jnp.asarray(np.concatenate([
+        np.array([0.0, 0.02, 0.78, 1, 0, 0, 0]),
+        np.array([-0.02, 0.05, 0.75, 0.9238795, 0, 0.3826834, 0]),
+        np.array([0.04, 0.03, 0.80, 1, 0, 0, 0]),
+    ]), np.float32)[None], (B, 1))
+    qd = 0.1 * jax.random.normal(key, (B, model.nv))
+    ctrl = zero_controls(model, B)
+    wrench = jnp.zeros((B, model.nb, 6))
+    qa, qda = q, qd
+    qb, qdb = q, qd
+    contact_seen = False
+    for i in range(20):
+        qa, qda, neta = xla_step(params, qa, qda, ctrl, wrench)
+        qb, qdb, netb = fused_step(params, qb, qdb, ctrl, wrench)
+        contact_seen = contact_seen or \
+            float(np.abs(np.asarray(neta)).max()) > 0.5
+        np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
+                                   atol=5e-3, rtol=5e-3, err_msg=f"step {i}")
+        np.testing.assert_allclose(np.asarray(neta), np.asarray(netb),
+                                   atol=1.0, rtol=1e-2, err_msg=f"step {i}")
+    assert contact_seen

@@ -251,3 +251,27 @@ def test_mjcf_fk_zero_pose_matches_cumulative_body_pos():
             err_msg=f"body {name}: FK {pos[i]} != MJCF {exp - root_pos}")
     # the advisor's concrete check: right_foot ~0.41 m below r3's value
     assert abs(pos[name_to_idx["right_foot"]][2] - (-1.178)) < 1e-3
+
+
+def test_gogoro_combined_rider_ik():
+    """Combined THORMANG+scooter (reference tasks/gogoro/gogoro.py):
+    articulated rider held by PD at the riding pose, freewheel assists,
+    wheel spin-up, DLS IK keeping hands on the handlebar ends. The scooter
+    is spawned leaning (roll=-0.3, :307-309) and must be caught by the
+    freewheels; the IK keeps both hands within a few mm of the grips."""
+    env = tgx.make("GogoroCombined", num_envs=2, seed=3)
+    assert env.num_obs == 8 and env.num_actions == 1
+    state = env.reset(jax.random.key(0))
+    rolls = []
+    for i in range(60):
+        state = env.step(state, jnp.zeros((2, 1)))
+        rolls.append(float(np.asarray(state.obs)[0, 0]))
+    assert np.isfinite(np.asarray(state.obs)).all()
+    # episode survives (no perpetual resets): progress advanced past 50
+    assert int(np.asarray(state.progress)[0]) >= 50
+    # lean recovered from -0.3 toward upright at some point
+    assert min(abs(r) for r in rolls) < 0.1
+    # IK hands-on-handlebars: mean hand-to-grip distance under 1 cm
+    assert float(np.asarray(state.metrics["hand_err"]).mean()) < 0.01
+    # spin-up ramp: wheel speed grew
+    assert float(np.asarray(state.obs)[0, 4]) * 100 > 2.0

@@ -312,10 +312,32 @@ def load_urdf(
             else:
                 raise ValueError(f"unsupported joint type {j['type']} ({j['name']})")
 
-    # NOTE: out_joints were appended in BFS order, so parent idx < child idx
+    # NOTE: out_joints were appended in BFS order (parent idx < child idx),
+    # but long FIXED-joint chains can delay a shallow movable body until
+    # after deeper ones were emitted (the queue interleaves fixed-merge
+    # traversal with movable creation), breaking the level-contiguous body
+    # order the banded ABA sweeps require (ops/levels.py). Re-sort bodies
+    # depth-major with a stable key — a no-op for assets that were already
+    # contiguous, same normalization as models/mjcf.py.
     nb = len(body_names)
     nj = len(out_joints)
     parent_idx = [-1] + [j["parent"] for j in out_joints]
+    depth = [0] * nb
+    for i in range(1, nb):
+        depth[i] = depth[parent_idx[i]] + 1
+    order = sorted(range(nb), key=lambda i: (depth[i], i))
+    if order != list(range(nb)):
+        remap = {old: new for new, old in enumerate(order)}
+        body_names = [body_names[i] for i in order]
+        bodies = [bodies[i] for i in order]
+        # joint k belongs to body k+1; reorder joints by their child body
+        out_joints = [out_joints[i - 1] for i in order[1:]]
+        for j in out_joints:
+            j["parent"] = remap[j["parent"]]
+        parent_idx = [-1] + [j["parent"] for j in out_joints]
+        geoms = [Geom(body=remap[g.body], gtype=g.gtype, size=g.size,
+                      pos=g.pos, quat=g.quat, name=g.name) for g in geoms]
+        sites = {k: (remap[b], p, qv) for k, (b, p, qv) in sites.items()}
 
     defaults = make_defaults(
         nb, nj, len(geoms),

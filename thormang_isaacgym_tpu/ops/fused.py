@@ -103,6 +103,40 @@ def _fma(acc, a, b):
     return _add(acc, _mul(a, b))
 
 
+# scalar helpers that fold float/float at trace time but accept sheets
+def _ssqrt(x):
+    import math as _math
+    return _math.sqrt(x) if _isf(x) else jnp.sqrt(x)
+
+
+def _smax(a, b):
+    if _isf(a) and _isf(b):
+        return max(a, b)
+    return jnp.maximum(a, b)
+
+
+def _smin(a, b):
+    if _isf(a) and _isf(b):
+        return min(a, b)
+    return jnp.minimum(a, b)
+
+
+def _sclip(x, lo, hi):
+    return _smin(_smax(x, lo), hi)
+
+
+def _sabs(x):
+    if _isf(x):
+        return abs(x)
+    return jnp.abs(x)
+
+
+def _ssign(x):
+    if _isf(x):
+        return float(np.sign(x))
+    return jnp.sign(x)
+
+
 def _cross(a, b):
     return (_sub(_mul(a[1], b[2]), _mul(a[2], b[1])),
             _sub(_mul(a[2], b[0]), _mul(a[0], b[2])),
@@ -273,6 +307,48 @@ def _symI_rank1_sub(I, U, invD):
     return (A2, B2, C2)
 
 
+_SYM_IDX = ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+
+
+def _symI_rank1_add(I, u, M):
+    """I + M * u u^T for a 6-vector u of sheets and scalar/sheet M — the
+    implicit contact velocity-reaction added inertia (ops/collide.py dIA)."""
+    A, B, C = I
+    Mu = tuple(_mul(M, u[k]) for k in range(6))
+    A2 = tuple(_add(A[k], _mul(Mu[i], u[j]))
+               for k, (i, j) in enumerate(_SYM_IDX))
+    B2 = tuple(_add(B[3 * i + j], _mul(Mu[i], u[3 + j]))
+               for i in range(3) for j in range(3))
+    C2 = tuple(_add(C[k], _mul(Mu[3 + i], u[3 + j]))
+               for k, (i, j) in enumerate(_SYM_IDX))
+    return (A2, B2, C2)
+
+
+def _symI_G_add(I, r, M):
+    """I + M * U U^T with U = [skew(r); I3] — the SUM of M u(t)u(t)^T over
+    any orthonormal 3-basis {t} of contact directions at lever arm r, since
+    U U^T = [[|r|^2 I - r r^T, skew(r)], [skew(r)^T, I]]. Combined with one
+    rank-1 term this reproduces the per-direction dIA of ops/collide.py at
+    a third of the multiply count (the isotropic-tangent-damping identity:
+    u(t1)u(t1)^T + u(t2)u(t2)^T = U U^T - u(n)u(n)^T)."""
+    A, B, C = I
+    r0, r1, r2 = r
+    rr = _dot3(r, r)
+    Mrr = _mul(M, rr)
+    Mr0, Mr1, Mr2 = _mul(M, r0), _mul(M, r1), _mul(M, r2)
+    A2 = (_add(A[0], _sub(Mrr, _mul(Mr0, r0))),
+          _sub(A[1], _mul(Mr0, r1)),
+          _sub(A[2], _mul(Mr0, r2)),
+          _add(A[3], _sub(Mrr, _mul(Mr1, r1))),
+          _sub(A[4], _mul(Mr1, r2)),
+          _add(A[5], _sub(Mrr, _mul(Mr2, r2))))
+    B2 = (B[0], _sub(B[1], Mr2), _add(B[2], Mr1),
+          _add(B[3], Mr2), B[4], _sub(B[5], Mr0),
+          _sub(B[6], Mr1), _add(B[7], Mr0), B[8])
+    C2 = (_add(C[0], M), C[1], C[2], _add(C[3], M), C[4], _add(C[5], M))
+    return (A2, B2, C2)
+
+
 def _symI_to_parent(R, p, I):
     """Y I Y^T with Y = [[R, skew(p)R], [0, R]] (force transform child->parent)."""
     A, B, C = I
@@ -390,13 +466,306 @@ def _contact_candidates(model: RobotModel):
     return cands
 
 
-def fused_eligible(model: RobotModel, ground_height_fn, attractors) -> bool:
+# ===========================================================================
+# actor-pair narrowphase in sheet math (mirrors ops/collide.py formulas
+# exactly — the candidate lists, masks, caps and epsilons must match the
+# XLA path for the fused-vs-XLA cross-check, tests/test_fused.py)
+# ===========================================================================
+
+def _s_sphere_box(center, r, box_pos, box_quat, half):
+    """Sheet version of collide._sphere_box_point. half: 3 floats."""
+    local = _qrotinv(box_quat, _vsub(center, box_pos))
+    clamped = tuple(_sclip(local[k], -half[k], half[k]) for k in range(3))
+    inside = ((_sabs(local[0]) < half[0]) & (_sabs(local[1]) < half[1])
+              & (_sabs(local[2]) < half[2]))
+    d_out = _vsub(local, clamped)
+    dist_out = _add(_ssqrt(_dot3(d_out, d_out)), 1e-9)
+    g = tuple(_sub(half[k], _sabs(local[k])) for k in range(3))
+    # argmin over the 3 face gaps (first-minimum tie-break, like jnp.argmin)
+    c01 = g[0] <= g[1]
+    c02 = g[0] <= g[2]
+    c12 = g[1] <= g[2]
+    k0 = c01 & c02
+    k1 = (~c01) & c12
+    oh = (jnp.where(k0, 1.0, 0.0), jnp.where(k1, 1.0, 0.0),
+          jnp.where(k0 | k1, 0.0, 1.0))
+    gap_min = jnp.where(k0, g[0], jnp.where(k1, g[1], g[2]))
+    inv_d = 1.0 / dist_out
+    out_local = tuple(
+        jnp.where(inside, _mul(_ssign(local[k]), oh[k]),
+                  _mul(d_out[k], inv_d)) for k in range(3))
+    depth = jnp.where(inside, _add(r, gap_min), _sub(r, dist_out))
+    n = _vscale(_qrot(box_quat, out_local), -1.0)
+    cp = _vadd(center, _vscale(n, r))
+    return n, depth, cp
+
+
+def _s_pair_candidates(model, pairs, gpose, mat):
+    """Sheet candidates: list of (ia, ib, ba, bb, n, depth, cp), mirroring
+    collide._candidates. gpose(i) -> (pos 3-tuple, quat 4-tuple) sheets."""
+    out = []
+    for (ia, ib, kind) in pairs:
+        ga, gb = model.geoms[ia], model.geoms[ib]
+        ba, bb = ga.body, gb.body
+        pa, qa = gpose(ia)
+        pb, qb = gpose(ib)
+        if kind == "sphere":
+            tb = gb.gtype
+            ra = float(ga.size[0])
+            if tb == GEOM_SPHERE:
+                rb = float(gb.size[0])
+                d = _vsub(pb, pa)
+                dist = _add(_ssqrt(_dot3(d, d)), 1e-9)
+                n = _vscale(d, 1.0 / dist)
+                depth = _sub(ra + rb, dist)
+                cp = _vadd(pa, _vscale(n, _sub(ra, _mul(depth, 0.5))))
+            elif tb == GEOM_CAPSULE:
+                rb, hl = float(gb.size[0]), float(gb.size[1])
+                axis = _qrot(qb, (0.0, 0.0, 1.0))
+                t = _sclip(_dot3(_vsub(pa, pb), axis), -hl, hl)
+                closest = _vadd(pb, _vscale(axis, t))
+                d = _vsub(closest, pa)
+                dist = _add(_ssqrt(_dot3(d, d)), 1e-9)
+                n = _vscale(d, 1.0 / dist)
+                depth = _sub(ra + rb, dist)
+                cp = _vadd(pa, _vscale(n, _sub(ra, _mul(depth, 0.5))))
+            elif tb == GEOM_CYLINDER:
+                R_cyl, hw = float(gb.size[0]), float(gb.size[1])
+                local = _qrotinv(qb, _vsub(pa, pb))
+                r_xy = _add(_ssqrt(_add(_mul(local[0], local[0]),
+                                        _mul(local[1], local[1]))), 1e-9)
+                sc = _smin(R_cyl / r_xy, 1.0)
+                cl = (_mul(local[0], sc), _mul(local[1], sc),
+                      _sclip(local[2], -hw, hw))
+                d_out = _vsub(local, cl)
+                dist_out = _add(_ssqrt(_dot3(d_out, d_out)), 1e-9)
+                inside = (r_xy < R_cyl) & (_sabs(local[2]) < hw)
+                face_gap = _sub(hw, _sabs(local[2]))
+                wall_gap = _sub(R_cyl, r_xy)
+                inv_rxy = 1.0 / r_xy
+                face_first = face_gap < wall_gap
+                n_in = (jnp.where(face_first, 0.0, _mul(local[0], inv_rxy)),
+                        jnp.where(face_first, 0.0, _mul(local[1], inv_rxy)),
+                        jnp.where(face_first, _ssign(local[2]), 0.0))
+                inv_d = 1.0 / dist_out
+                out_local = tuple(
+                    jnp.where(inside, n_in[k], _mul(d_out[k], inv_d))
+                    for k in range(3))
+                depth = jnp.where(inside,
+                                  _add(ra, _smin(face_gap, wall_gap)),
+                                  _sub(ra, dist_out))
+                n = _vscale(_qrot(qb, out_local), -1.0)
+                cp = _vadd(pa, _vscale(n, ra))
+            else:  # box
+                half = tuple(float(x) for x in gb.size)
+                n, depth, cp = _s_sphere_box(pa, ra, pb, qb, half)
+            out.append((ia, ib, ba, bb, n, depth, cp))
+        elif kind == "capcap":
+            r1, h1 = float(ga.size[0]), float(ga.size[1])
+            r2, h2 = float(gb.size[0]), float(gb.size[1])
+            a1 = _qrot(qa, (0.0, 0.0, 1.0))
+            a2 = _qrot(qb, (0.0, 0.0, 1.0))
+            P1 = _vsub(pa, _vscale(a1, h1))
+            Q1 = _vadd(pa, _vscale(a1, h1))
+            P2 = _vsub(pb, _vscale(a2, h2))
+            Q2 = _vadd(pb, _vscale(a2, h2))
+            d1, d2 = _vsub(Q1, P1), _vsub(Q2, P2)
+            r0 = _vsub(P1, P2)
+            a_ = _add(_dot3(d1, d1), 1e-9)
+            e_ = _add(_dot3(d2, d2), 1e-9)
+            b_ = _dot3(d1, d2)
+            c_ = _dot3(d1, r0)
+            f_ = _dot3(d2, r0)
+            denom = _sub(_mul(a_, e_), _mul(b_, b_))
+            nz = _sabs(denom) > 1e-9
+            denom_safe = jnp.where(nz, denom, 1.0)
+            s = jnp.where(
+                nz, _sclip(_sub(_mul(b_, f_), _mul(c_, e_)) / denom_safe,
+                           0.0, 1.0), 0.0)
+            t = _sclip(_add(_mul(b_, s), f_) / e_, 0.0, 1.0)
+            s = _sclip(_sub(_mul(b_, t), c_) / a_, 0.0, 1.0)
+            c1 = _vadd(P1, _vscale(d1, s))
+            c2 = _vadd(P2, _vscale(d2, t))
+            d = _vsub(c2, c1)
+            dist = _add(_ssqrt(_dot3(d, d)), 1e-9)
+            n = _vscale(d, 1.0 / dist)
+            depth = _sub(r1 + r2, dist)
+            cp = _vadd(c1, _vscale(n, _sub(r1, _mul(depth, 0.5))))
+            out.append((ia, ib, ba, bb, n, depth, cp))
+        elif kind == "capbox":
+            r1, h1 = float(ga.size[0]), float(ga.size[1])
+            half = tuple(float(x) for x in gb.size)
+            axis = _qrot(qa, (0.0, 0.0, 1.0))
+            e0 = _qrotinv(qb, _vsub(_vsub(pa, _vscale(axis, h1)), pb))
+            e1 = _qrotinv(qb, _vsub(_vadd(pa, _vscale(axis, h1)), pb))
+            de = _vsub(e1, e0)
+
+            def seg_dist(t):
+                p = _vadd(e0, _vscale(de, t))
+                c = tuple(_sclip(p[k], -half[k], half[k]) for k in range(3))
+                dd = _vsub(p, c)
+                return _ssqrt(_dot3(dd, dd))
+
+            lo, hi = 0.0, 1.0
+            for _ in range(18):
+                span = _sub(hi, lo)
+                m1 = _add(lo, _mul(span, 1.0 / 3.0))
+                m2 = _sub(hi, _mul(span, 1.0 / 3.0))
+                left = seg_dist(m1) < seg_dist(m2)
+                lo = jnp.where(left, lo, m1)
+                hi = jnp.where(left, m2, hi)
+            t_opt = _mul(_add(lo, hi), 0.5)
+            eps = 0.02
+            interior = jnp.where(
+                (t_opt > eps) & (t_opt < 1.0 - eps)
+                & (_sabs(_sub(t_opt, 0.5)) > eps), 1.0, 0.0)
+            for tpar, msk in ((0.0, None), (t_opt, interior),
+                              (0.5, None), (1.0, None)):
+                center = _vadd(pa, _vscale(axis, _mul(h1, _sub(
+                    _mul(2.0, tpar), 1.0))))
+                n, depth, cp = _s_sphere_box(center, r1, pb, qb, half)
+                if msk is not None:
+                    depth = jnp.where(msk > 0, depth, -1.0)
+                out.append((ia, ib, ba, bb, n, depth, cp))
+        elif kind == "boxbox":
+            out.extend(_s_box_box(ia, ib, ba, bb, pa, qa,
+                                  tuple(float(x) for x in ga.size),
+                                  pb, qb,
+                                  tuple(float(x) for x in gb.size), mat))
+    return out
+
+
+def _s_box_box(ia, ib, ba, bb, pa, qa, half_a, pb, qb, half_b, mat):
+    """Sheet version of collide._box_box_candidates + edge candidate."""
+    Ma = _qtomat(qa)
+    Mb = _qtomat(qb)
+    # world directions of each box's local axes = matrix columns
+    A_axes = [(Ma[j], Ma[3 + j], Ma[6 + j]) for j in range(3)]
+    B_axes = [(Mb[j], Mb[3 + j], Mb[6 + j]) for j in range(3)]
+    d = _vsub(pb, pa)
+
+    def proj(L, axes, half):
+        s = 0.0
+        for j in range(3):
+            s = _add(s, _mul(_sabs(_dot3(L, axes[j])), half[j]))
+        return s
+
+    # 6 face axes; min-overlap face axis shared by all vertex contacts
+    axes6 = A_axes + B_axes
+    overlap_f = [_sub(_add(proj(L, A_axes, half_a), proj(L, B_axes, half_b)),
+                      _sabs(_dot3(L, d))) for L in axes6]
+    best_f = mat(overlap_f[0])
+    n_raw = tuple(mat(x) for x in axes6[0])
+    for k in range(1, 6):
+        better = overlap_f[k] < best_f
+        best_f = jnp.where(better, overlap_f[k], best_f)
+        n_raw = tuple(jnp.where(better, mat(axes6[k][c]), n_raw[c])
+                      for c in range(3))
+    n = _vscale(n_raw, _ssign(_add(_dot3(n_raw, d), 1e-12)))
+    hB_n = proj(n, B_axes, half_b)
+    hA_n = proj(n, A_axes, half_a)
+
+    out = []
+    corners = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1)
+               for sz in (-1, 1)]
+    for (sx, sy, sz) in corners:
+        vtx = (sx * half_a[0], sy * half_a[1], sz * half_a[2])
+        pv = _vadd(pa, _qrot(qa, vtx))
+        local = _qrotinv(qb, _vsub(pv, pb))
+        inside = ((_sabs(local[0]) < half_b[0])
+                  & (_sabs(local[1]) < half_b[1])
+                  & (_sabs(local[2]) < half_b[2]))
+        depth = jnp.where(inside, _add(_dot3(_vsub(pv, pb), n), hB_n), -1.0)
+        out.append((ia, ib, ba, bb, n, depth, pv))
+    for (sx, sy, sz) in corners:
+        vtx = (sx * half_b[0], sy * half_b[1], sz * half_b[2])
+        pv = _vadd(pb, _qrot(qb, vtx))
+        local = _qrotinv(qa, _vsub(pv, pa))
+        inside = ((_sabs(local[0]) < half_a[0])
+                  & (_sabs(local[1]) < half_a[1])
+                  & (_sabs(local[2]) < half_a[2]))
+        depth = jnp.where(inside, _sub(hA_n, _dot3(_vsub(pv, pa), n)), -1.0)
+        out.append((ia, ib, ba, bb, n, depth, pv))
+
+    # SAT edge-edge candidate (collide._box_box_edge_candidate)
+    min_f = overlap_f[0]
+    for k in range(1, 6):
+        min_f = _smin(min_f, overlap_f[k])
+    all_f = (overlap_f[0] > 0)
+    for k in range(1, 6):
+        all_f = all_f & (overlap_f[k] > 0)
+
+    best_e = None
+    n_e = None
+    cp_e = None
+    all_e = None
+    for i_ in range(3):
+        for j_ in range(3):
+            L0 = _cross(A_axes[i_], B_axes[j_])
+            norm = _ssqrt(_dot3(L0, L0))
+            degenerate = norm < 1e-6
+            inv_n = 1.0 / _smax(norm, 1e-6)
+            L = _vscale(L0, inv_n)
+            ov = _sub(_add(proj(L, A_axes, half_a), proj(L, B_axes, half_b)),
+                      _sabs(_dot3(L, d)))
+            ov = jnp.where(degenerate, jnp.inf, mat(ov))
+            nk = _vscale(L, _ssign(_dot3(L, d)))
+            # support edge midpoints
+            ca, cb_ = pa, pb
+            for j2 in range(3):
+                if j2 != i_:
+                    sa = _ssign(_dot3(A_axes[j2], nk))
+                    ca = _vadd(ca, _vscale(A_axes[j2], _mul(sa, half_a[j2])))
+                if j2 != j_:
+                    sb = _ssign(_dot3(B_axes[j2], nk))
+                    cb_ = _vsub(cb_, _vscale(B_axes[j2], _mul(sb, half_b[j2])))
+            ea, eb = A_axes[i_], B_axes[j_]
+            r0 = _vsub(cb_, ca)
+            b_ = _dot3(ea, eb)
+            denom = _smax(_sub(1.0, _mul(b_, b_)), 1e-6)
+            ear0 = _dot3(ea, r0)
+            ebr0 = _dot3(eb, r0)
+            s = _sub(ear0, _mul(b_, ebr0)) / denom
+            t = _sub(_mul(b_, ear0), ebr0) / denom
+            s = _sclip(s, -half_a[i_], half_a[i_])
+            t = _sclip(t, -half_b[j_], half_b[j_])
+            cpk = _vscale(_vadd(_vadd(ca, _vscale(ea, s)),
+                                _vadd(cb_, _vscale(eb, t))), 0.5)
+            ovk_pos = ov > 0
+            if best_e is None:
+                best_e, n_e, cp_e = ov, tuple(mat(x) for x in nk), \
+                    tuple(mat(x) for x in cpk)
+                all_e = ovk_pos
+            else:
+                better = ov < best_e
+                best_e = jnp.where(better, ov, best_e)
+                n_e = tuple(jnp.where(better, mat(nk[c]), n_e[c])
+                            for c in range(3))
+                cp_e = tuple(jnp.where(better, mat(cpk[c]), cp_e[c])
+                             for c in range(3))
+                all_e = all_e & ovk_pos
+    active = all_e & all_f & (best_e < min_f * 0.99)
+    depth_e = jnp.where(active, best_e, -1.0)
+    out.append((ia, ib, ba, bb, n_e, depth_e, cp_e))
+    return out
+
+
+def _pair_candidate_count(model: RobotModel) -> int:
     from thormang_isaacgym_tpu.ops import collide as collide_mod
-    if ground_height_fn is not None or attractors:
+    counts = {"sphere": 1, "capcap": 1, "capbox": 4, "boxbox": 17}
+    return sum(counts[k] for (_, _, k) in collide_mod._pairs(model))
+
+
+# pair-candidate budget: above this the unrolled narrowphase makes the
+# Mosaic kernel too large to compile usefully (e.g. MA_OP3's two full
+# humanoids vs each other is ~10^3 pairs) — fall back to the XLA path
+_MAX_PAIR_CANDIDATES = 256
+
+
+def fused_eligible(model: RobotModel, ground_height_fn, attractors) -> bool:
+    if ground_height_fn is not None:
         return False
-    if collide_mod.has_pairs(model):
-        return False
-    if getattr(model, "tendons", ()):
+    if _pair_candidate_count(model) > _MAX_PAIR_CANDIDATES:
         return False
     return True
 
@@ -430,11 +799,14 @@ class _Rows:
     geom_fric: int = 0
     gravity: int = 0
     wrench: int = 0
+    tstiff: int = 0
+    tdamp: int = 0
     total: int = 0
 
 
 def _make_rows(model: RobotModel) -> _Rows:
     nq, nv, nj, nb, ng = model.nq, model.nv, model.nj, model.nb, model.ng
+    nt = len(getattr(model, "tendons", ()) or ())
     r = _Rows()
     off = 0
     for name, n in [("q", nq), ("qd", nv), ("tp", nj), ("tv", nj), ("eff", nj),
@@ -445,7 +817,8 @@ def _make_rows(model: RobotModel) -> _Rows:
                     ("posm", nj), ("velm", nj), ("effm", nj),
                     ("kp", nj), ("kd", nj), ("eff_lim", nj),
                     ("locked", nj), ("locked_pos", nj),
-                    ("geom_fric", ng), ("gravity", 3), ("wrench", 6 * nb)]:
+                    ("geom_fric", ng), ("gravity", 3), ("wrench", 6 * nb),
+                    ("tstiff", nt), ("tdamp", nt)]:
         setattr(r, name, off)
         off += n
     r.total = off
@@ -456,7 +829,10 @@ def _make_rows(model: RobotModel) -> _Rows:
 # the kernel
 # ===========================================================================
 
-def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float):
+def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
+                 attractors=()):
+    from thormang_isaacgym_tpu.ops import collide as collide_mod
+
     nq, nv, nj, nb = model.nq, model.nv, model.nj, model.nb
     nr = model.n_roots
     rows = _make_rows(model)
@@ -479,6 +855,15 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float):
     nf = model.n_floating
     cands = _contact_candidates(model)
     geom_bodies = sorted({c["body"] for c in cands})
+    # actor-pair collision + tendons + attractors (fused v2)
+    pairs = collide_mod._pairs(model)
+    pair_bodies = sorted({model.geoms[ia].body for ia, ib, _ in pairs}
+                         | {model.geoms[ib].body for ia, ib, _ in pairs})
+    attractors = tuple(attractors or ())
+    attr_bodies = sorted({a[0] for a in attractors})
+    vel_bodies = sorted(set(geom_bodies) | set(pair_bodies)
+                        | set(attr_bodies))
+    tendons = tuple(getattr(model, "tendons", ()) or ())
 
     lin_damp = float(sp.root_linear_damping)
     ang_damp = float(sp.root_angular_damping)
@@ -523,6 +908,8 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float):
         gvec = rd3(rows.gravity)
         wrench = [tuple(rd(rows.wrench + 6 * b + k) for k in range(6))
                   for b in range(nb)]
+        t_stiff = [rd(rows.tstiff + t) for t in range(len(tendons))]
+        t_damp = [rd(rows.tdamp + t) for t in range(len(tendons))]
         tgt_pos = [rd(rows.tp + j) for j in range(nj)]
         tgt_vel = [rd(rows.tv + j) for j in range(nj)]
         eff_in = [rd(rows.eff + j) for j in range(nj)]
@@ -604,12 +991,12 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float):
             # ---- ground contact (plane z = ground_z) ----
             f_ext_w = [[0.0] * 6 for _ in range(nb)]   # world [torque, force]
             net_w = [[0.0] * 3 for _ in range(nb)]
+            # world velocity of every body touched by contact/attractors
+            om_w, vl_w = {}, {}
+            for b in vel_bodies:
+                om_w[b] = _qrot(quat_w[b], v[b][:3])
+                vl_w[b] = _qrot(quat_w[b], v[b][3:])
             if cands:
-                # world velocity of candidate bodies
-                om_w, vl_w = {}, {}
-                for b in geom_bodies:
-                    om_w[b] = _qrot(quat_w[b], v[b][:3])
-                    vl_w[b] = _qrot(quat_w[b], v[b][3:])
                 # phase 1: candidate geometry + active flags
                 infos = []
                 n_active = {b: 0.0 for b in geom_bodies}
@@ -677,6 +1064,110 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float):
                 for k in range(6):
                     f_ext_w[b][k] = _add(f_ext_w[b][k], wrench[b][k])
 
+            # ---- actor-pair contact (mirrors ops/collide.py): explicit
+            # spring force + friction here; the implicit velocity reaction
+            # accumulates as rank-1 added inertia per touched body ----
+            dIA_acc = {b: ((0.0,) * 6, (0.0,) * 9, (0.0,) * 6)
+                       for b in pair_bodies}
+            if pairs:
+                gpose_cache = {}
+
+                def gpose(i):
+                    if i in gpose_cache:
+                        return gpose_cache[i]
+                    g = model.geoms[i]
+                    b = g.body
+                    gp_s = tuple(float(x) for x in g.pos)
+                    gq_s = tuple(float(x) for x in g.quat)
+                    gq = _qmul(quat_w[b], gq_s)
+                    gp = _vadd(pos_w[b], _qrot(quat_w[b], gp_s))
+                    gpose_cache[i] = (gp, gq)
+                    return gp, gq
+
+                kn_cfg = float(sp.contact_stiffness)
+                kd_cfg = float(sp.contact_damping)
+                D_imp = h * kn_cfg + kd_cfg
+                max_dep = float(sp.max_depenetration_velocity)
+                fv = float(sp.friction_vel)
+                for (ia, ib, ba, bb, n, depth, cp) in _s_pair_candidates(
+                        model, pairs, gpose, mat):
+                    active = depth > 0
+                    activef = jnp.where(active, 1.0, 0.0)
+                    va = _vadd(vl_w[ba],
+                               _cross(om_w[ba], _vsub(cp, pos_w[ba])))
+                    vb = _vadd(vl_w[bb],
+                               _cross(om_w[bb], _vsub(cp, pos_w[bb])))
+                    vrel = _vsub(vb, va)
+                    vn = _dot3(vrel, n)
+                    spring = _smin(_mul(kn_cfg, depth), D_imp * max_dep)
+                    fn = _mul(_smax(_sub(spring, _mul(D_imp, vn)), 0.0),
+                              activef)
+                    m_a, m_b = mass[ba], mass[bb]
+                    m_red = m_a * m_b / (m_a + m_b)
+                    cap = jnp.where(
+                        vn > 0.0,
+                        m_red * _smax(_sub(max_dep, vn), 0.0) / h
+                        + D_imp * max_dep, jnp.inf)
+                    fn_exp = _smin(fn, cap)
+                    vt = _vsub(vrel, _vscale(n, vn))
+                    vt_norm = _ssqrt(_dot3(vt, vt))
+                    mu = _ssqrt(_mul(geom_fric[ia], geom_fric[ib]))
+                    c_t = _mul(mu, fn_exp) / _smax(vt_norm, fv)
+                    ft = _vscale(vt, _mul(_neg(c_t), activef))
+                    f_on_b = _vadd(_vscale(n, fn_exp), ft)
+                    r_a = _vsub(cp, pos_w[ba])
+                    r_b = _vsub(cp, pos_w[bb])
+                    t_a = _cross(r_a, _vscale(f_on_b, -1.0))
+                    t_b = _cross(r_b, f_on_b)
+                    for k in range(3):
+                        f_ext_w[ba][k] = _add(f_ext_w[ba][k], t_a[k])
+                        f_ext_w[ba][3 + k] = _sub(f_ext_w[ba][3 + k],
+                                                  f_on_b[k])
+                        f_ext_w[bb][k] = _add(f_ext_w[bb][k], t_b[k])
+                        f_ext_w[bb][3 + k] = _add(f_ext_w[bb][3 + k],
+                                                  f_on_b[k])
+                        net_w[ba][k] = _sub(net_w[ba][k], f_on_b[k])
+                        net_w[bb][k] = _add(net_w[bb][k], f_on_b[k])
+                    # implicit velocity reaction -> added inertia.
+                    # Tangent damping is isotropic in the contact tangent
+                    # plane, so instead of building an explicit (t1, t2)
+                    # basis and three rank-1 updates (ops/collide.py), add
+                    # M_t * U U^T (all 3 directions) + (M_n - M_t) * u_n
+                    # u_n^T — identical matrix, ~3x fewer multiplies.
+                    gate = jnp.where(active & (vn < 0.5 * max_dep), 1.0, 0.0)
+                    M_n = _mul(h * D_imp, gate)
+                    M_t = _mul(_mul(h, c_t), activef)
+                    for body in (ba, bb):
+                        r_l = _qrotinv(quat_w[body], _vsub(cp, pos_w[body]))
+                        n_l = _qrotinv(quat_w[body], n)
+                        u_n = _cross(r_l, n_l) + n_l
+                        dIA_acc[body] = _symI_G_add(dIA_acc[body], r_l, M_t)
+                        dIA_acc[body] = _symI_rank1_add(
+                            dIA_acc[body], u_n, _sub(M_n, M_t))
+
+            # ---- attractors (gymapi rigid-body attractor equivalent,
+            # ops/sim.py attractor block): world-point springs, clamped ----
+            for (ab, local_p, target, kp_a, kd_a) in attractors:
+                lp = tuple(float(x) for x in local_p)
+                wp = _vadd(pos_w[ab], _qrot(quat_w[ab], lp))
+                vp = _vadd(vl_w[ab],
+                           _cross(om_w[ab], _vsub(wp, pos_w[ab])))
+                m_lin = mass[ab]
+                r2 = float(np.dot(np.asarray(local_p, np.float64),
+                                  np.asarray(local_p, np.float64)))
+                if r2 > 1e-6:
+                    m_eff = _smin(m_lin, I_min[ab] / (r2 + 1e-6))
+                else:
+                    m_eff = m_lin
+                kp_c = _smin(float(kp_a), 0.25 * m_eff / (h * h))
+                kd_c = _smin(float(kd_a), 0.5 * m_eff / h)
+                tgt = tuple(float(x) for x in target)
+                F = _vsub(_vscale(_vsub(tgt, wp), kp_c), _vscale(vp, kd_c))
+                tq = _cross(_vsub(wp, pos_w[ab]), F)
+                for k in range(3):
+                    f_ext_w[ab][k] = _add(f_ext_w[ab][k], tq[k])
+                    f_ext_w[ab][3 + k] = _add(f_ext_w[ab][3 + k], F[k])
+
             # ---- drives + passive joint forces (implicit form) ----
             tau = [None] * nj
             extra_diag = [None] * nj
@@ -704,11 +1195,42 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float):
                 tau[j] = t
                 extra_diag[j] = diag
 
+            # ---- fixed tendons (L = C q spring-limited to [lo, hi];
+            # mirrors ops/dynamics.passive_forces' tendon block) ----
+            for t_i, tdn in enumerate(tendons):
+                coef = [float(c) for c in tdn[0]]
+                lo_t, hi_t = float(tdn[1]), float(tdn[2])
+                L = 0.0
+                Ld = 0.0
+                for j in range(nj):
+                    if coef[j] != 0.0:
+                        L = _fma(L, coef[j], jq[j])
+                        Ld = _fma(Ld, coef[j], jqd[j])
+                below_t = _smin(_sub(L, lo_t), 0.0)
+                above_t = _smax(_sub(L, hi_t), 0.0)
+                viol_t = _add(below_t, above_t)
+                in_vio_t = jnp.where((below_t < 0) | (above_t > 0), 1.0, 0.0)
+                k_t = t_stiff[t_i]
+                d_t = t_damp[t_i]
+                f_t = _sub(_mul(in_vio_t,
+                                _neg(_mul(k_t, _add(viol_t, _mul(h, Ld))))),
+                           _mul(d_t, Ld))
+                diag_t = _add(_mul(in_vio_t, _mul(h * h, k_t)),
+                              _mul(h, d_t))
+                for j in range(nj):
+                    if coef[j] != 0.0:
+                        tau[j] = _add(tau[j], _mul(coef[j], f_t))
+                        extra_diag[j] = _add(
+                            extra_diag[j],
+                            _mul(coef[j] * coef[j], diag_t))
+
             # ---- bias forces pA (link frame) ----
             IA = [None] * nb
             pA = [None] * nb
             for b in range(nb):
                 IA[b] = I_body[b]
+                if b in dIA_acc:
+                    IA[b] = _symI_add(IA[b], dIA_acc[b])
                 Iv = _symI_mul(I_body[b], v[b])
                 g_l = _qrotinv(quat_w[b], gvec)
                 g_l = _vscale(g_l, gscale[b])
@@ -870,14 +1392,15 @@ class _FakeRef:
 
 def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
                         ground_z: float = 0.0, env_block: int = 512,
-                        interpret: bool | None = None):
+                        interpret: bool | None = None, attractors=()):
     """Returns step(params, q, qd, ctrl, wrench) -> (q', qd', net), batched,
     running `n_steps` substeps (default sim_params.substeps) in ONE kernel.
 
     interpret=True (default off-TPU) runs the kernel body as a plain traced
     jnp function via _FakeRef instead of lowering through Mosaic."""
     n_steps = int(n_steps if n_steps is not None else sim_params.substeps)
-    kernel, rows = _make_kernel(model, sim_params, n_steps, ground_z)
+    kernel, rows = _make_kernel(model, sim_params, n_steps, ground_z,
+                                attractors=attractors)
     nq, nv, nb = model.nq, model.nv, model.nb
     out_rows = nq + nv + 3 * nb
 
@@ -913,6 +1436,9 @@ def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
                 TT(params.drive_effort_limit), TT(params.dof_locked),
                 TT(params.dof_locked_pos), TT(params.geom_friction),
                 TT(params.gravity), TT(wrench)]
+        nt = len(getattr(model, "tendons", ()) or ())
+        if nt:
+            cols += [TT(params.tendon_stiffness), TT(params.tendon_damping)]
         packed = jnp.concatenate(cols, axis=0)          # (R, B)
         assert packed.shape[0] == rows.total
 

@@ -233,7 +233,8 @@ def build_step_fn(model: RobotModel, sim_params: SimParams,
     fused = fused and fused_mod.fused_eligible(model, ground_height_fn,
                                                attractors)
     if fused:
-        return fused_mod.build_fused_step_fn(model, sim_params)
+        return fused_mod.build_fused_step_fn(model, sim_params,
+                                             attractors=attractors)
 
     def single_env_step(params, q, qd, ctrl, body_wrench_w):
         def body(carry, _):

@@ -15,6 +15,8 @@ TASK_MAP = {
     "Gogoro": ("thormang_isaacgym_tpu.tasks.gogoro", "Gogoro"),
     "GogoroPaper": ("thormang_isaacgym_tpu.tasks.gogoro_paper",
                     "GogoroPaper"),
+    "GogoroCombined": ("thormang_isaacgym_tpu.tasks.gogoro_combined",
+                       "GogoroCombined"),
     "Ant": ("thormang_isaacgym_tpu.tasks.ant", "Ant"),
     "Humanoid": ("thormang_isaacgym_tpu.tasks.humanoid", "Humanoid"),
     "HumanoidMJCF": ("thormang_isaacgym_tpu.tasks.humanoid", "HumanoidMJCF"),
