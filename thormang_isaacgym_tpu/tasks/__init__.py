@@ -71,6 +71,25 @@ _ATTR_ALIASES = {
     "clipObservations": "clip_obs",
     "clipActions": "clip_actions",
     "controlFrequencyInv": "control_freq_inv",
+    # ShadowHand/AllegroHand env-block keys (shadow_hand.py:43-76 reads
+    # these under different snake-case names than camel->snake produces)
+    "fallDistance": "fall_dist",
+    "fallPenalty": "fall_penalty",
+    "actionsMovingAverage": "act_moving_average",
+    "resetPositionNoise": "reset_position_noise",
+    "resetDofPosRandomInterval": "reset_dof_pos_noise",
+    "resetDofVelRandomInterval": "reset_dof_vel_noise",
+    "dofSpeedScale": "dof_speed_scale",
+    "successTolerance": "success_tolerance",
+    "reachGoalBonus": "reach_goal_bonus",
+    "rotRewardScale": "rot_reward_scale",
+    "distRewardScale": "dist_reward_scale",
+    "actionPenaltyScale": "action_penalty_scale",
+    "rotEps": "rot_eps",
+    "maxConsecutiveSuccesses": "max_consecutive_successes",
+    "averFactor": "av_factor",
+    "useRelativeControl": "use_relative_control",
+    "forceScale": "force_scale",
 }
 
 
