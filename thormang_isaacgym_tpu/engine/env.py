@@ -52,7 +52,11 @@ class EnvState:
     done: jnp.ndarray         # (B,) 1.0 where env must reset next step
     timeout: jnp.ndarray      # (B,) 1.0 where done was due to episode length
     progress: jnp.ndarray     # (B,) int32 steps since reset
-    net_contact: jnp.ndarray  # (B, nb, 3) per-body net ground-contact force
+    net_contact: jnp.ndarray  # (B, nb, 3) per-body net contact force
+    net_torque: jnp.ndarray   # (B, nb, 3) net contact torque about the body
+                              # origin (world frame) — the missing half of
+                              # the 6-DOF force-sensor reading
+                              # (create_asset_force_sensor, humanoid.py:163)
     key: jnp.ndarray          # single PRNG key driving all streams
     episode: jnp.ndarray      # (B,) int32 episode counter (PRNG stream salt)
     global_step: jnp.ndarray  # scalar int32, steps since init (DR schedules)
@@ -236,6 +240,7 @@ class VecEnv:
             timeout=jnp.zeros(B),
             progress=jnp.zeros(B, jnp.int32),
             net_contact=jnp.zeros((B, task.model.nb, 3)),
+            net_torque=jnp.zeros((B, task.model.nb, 3)),
             key=key,
             episode=episode,
             global_step=jnp.asarray(0, jnp.int32),
@@ -338,7 +343,8 @@ class VecEnv:
         net = jnp.where(blown[:, None, None], jnp.zeros_like(net), net)
         progress = state.progress + 1
         state = dataclasses.replace(state, q=q, qd=qd, progress=progress,
-                                    net_contact=net)
+                                    net_contact=net[..., 0:3],
+                                    net_torque=net[..., 3:6])
 
         # ---- 4. post-physics: obs / reward / done ----
         obs, reward, done_task, task_state, metrics = task.post_physics(state, task_state)

@@ -61,8 +61,14 @@ def _capsule_y(name, r, length, y0=0.0):
       <geometry><capsule radius="{r}" length="{length}"/></geometry></collision>"""
 
 
-def _joint(name, jtype, parent, child, xyz, axis, lo, hi, effort, vel=3.0,
+def _joint(name, jtype, parent, child, xyz, axis, lo, hi, effort, vel=10.0,
            damping=0.05):
+    # vel: the reference loads the hand through PhysX, whose DOF
+    # maxVelocity stays at the asset-converter default (effectively
+    # unbounded) — the fingers are EFFORT-limited only, so position steps
+    # complete in a few control ticks. The r3 model's 3 rad/s cap made a
+    # full curl take ~30 ticks (0.5 s), low-passing every policy action
+    # and stalling reorientation learning at "hold still".
     return f"""
   <joint name="{name}" type="revolute">
     <parent link="{parent}"/><child link="{child}"/>

@@ -921,7 +921,7 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
 
         q0 = tuple(rd(rows.q + i) for i in range(nq))
         qd0 = tuple(rd(rows.qd + i) for i in range(nv))
-        net0 = tuple(zero for _ in range(3 * nb))
+        net0 = tuple(zero for _ in range(6 * nb))
 
         def substep(q, qd):
             jq = [q[7 * nf + j] for j in range(nj)]
@@ -991,6 +991,7 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
             # ---- ground contact (plane z = ground_z) ----
             f_ext_w = [[0.0] * 6 for _ in range(nb)]   # world [torque, force]
             net_w = [[0.0] * 3 for _ in range(nb)]
+            net_t = [[0.0] * 3 for _ in range(nb)]   # net contact torque
             # world velocity of every body touched by contact/attractors
             om_w, vl_w = {}, {}
             for b in vel_bodies:
@@ -1058,6 +1059,7 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                         f_ext_w[b][k] = _add(f_ext_w[b][k], tq[k])
                         f_ext_w[b][3 + k] = _add(f_ext_w[b][3 + k], f[k])
                         net_w[b][k] = _add(net_w[b][k], f[k])
+                        net_t[b][k] = _add(net_t[b][k], tq[k])
 
             # external wrenches
             for b in range(nb):
@@ -1128,6 +1130,8 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                                                   f_on_b[k])
                         net_w[ba][k] = _sub(net_w[ba][k], f_on_b[k])
                         net_w[bb][k] = _add(net_w[bb][k], f_on_b[k])
+                        net_t[ba][k] = _add(net_t[ba][k], t_a[k])
+                        net_t[bb][k] = _add(net_t[bb][k], t_b[k])
                     # implicit velocity reaction -> added inertia.
                     # Tangent damping is isotropic in the contact tangent
                     # plane, so instead of building an explicit (t1, t2)
@@ -1352,8 +1356,9 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                 q_new[7 * nf + j] = q2
                 qd_new[6 * nf + j] = v2
 
-            net_flat = tuple(mat(net_w[b][k])
-                             for b in range(nb) for k in range(3))
+            net_flat = tuple(
+                mat((net_w[b] + net_t[b])[k])
+                for b in range(nb) for k in range(6))
             return tuple(q_new), tuple(qd_new), net_flat
 
         def body_fn(k, carry):
@@ -1367,7 +1372,7 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
             out_ref[i, 0] = q[i]
         for i in range(nv):
             out_ref[nq + i, 0] = qd[i]
-        for i in range(3 * nb):
+        for i in range(6 * nb):
             out_ref[nq + nv + i, 0] = net[i]
 
     return kernel, rows
@@ -1402,7 +1407,7 @@ def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
     kernel, rows = _make_kernel(model, sim_params, n_steps, ground_z,
                                 attractors=attractors)
     nq, nv, nb = model.nq, model.nv, model.nb
-    out_rows = nq + nv + 3 * nb
+    out_rows = nq + nv + 6 * nb
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1457,7 +1462,7 @@ def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
             out = fake_out.arr.reshape(out_rows, Bp)[:, :B]
             q2 = out[:nq].T
             qd2 = out[nq:nq + nv].T
-            net = out[nq + nv:].T.reshape(B, nb, 3)
+            net = out[nq + nv:].T.reshape(B, nb, 6)
             return q2, qd2, net
         S = eb // 128
         nblk = Bp // eb
@@ -1488,7 +1493,7 @@ def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
         out = out.reshape(out_rows, Bp)[:, :B]
         q2 = out[:nq].T
         qd2 = out[nq:nq + nv].T
-        net = out[nq + nv:].T.reshape(B, nb, 3)
+        net = out[nq + nv:].T.reshape(B, nb, 6)
         return q2, qd2, net
 
     return step

@@ -91,6 +91,11 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
         dt=h, beta=sp_.contact_beta,
         max_depenetration_velocity=sp_.max_depenetration_velocity,
     )
+    # net contact TORQUE about each body origin (world frame): the missing
+    # half of the 6-DOF force-sensor reading (create_asset_force_sensor,
+    # humanoid.py:163-168) — contact contributions only, so it excludes
+    # the injected body_wrench pushes like the sensor would
+    net_tq = f_ext_w[:, 0:3]
     f_ext_w = f_ext_w + body_wrench_w  # external pushes (apply_rigid_body_force_tensors)
 
     # actor-vs-actor contact (multi-actor scenes only; static pair list).
@@ -106,6 +111,7 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
             max_depenetration_velocity=sp_.max_depenetration_velocity)
         f_ext_w = f_ext_w + f_pair
         net = net + net_pair
+        net_tq = net_tq + f_pair[:, 0:3]
 
     # world-point attractors (gymapi.create_rigid_body_attractor equivalent,
     # e.g. the BallBalance feet pins, ball_balance.py:305-318): translation
@@ -194,7 +200,7 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
         q_new = jq_new
         qd_new = jqd
 
-    return q_new, qd_new, net
+    return q_new, qd_new, jnp.concatenate([net, net_tq], axis=-1)
 
 
 def build_step_fn(model: RobotModel, sim_params: SimParams,

@@ -31,6 +31,7 @@ from thormang_isaacgym_tpu.core import quat as Q
 from thormang_isaacgym_tpu.engine.env import Task
 from thormang_isaacgym_tpu.models import load_urdf
 from thormang_isaacgym_tpu.models.robot import DRIVE_POS
+from thormang_isaacgym_tpu.ops.kinematics import forward_kinematics
 from thormang_isaacgym_tpu.models.scene import compose
 from thormang_isaacgym_tpu.ops.sim import Controls, SimParams
 
@@ -221,13 +222,19 @@ class BallBalance(Task):
         ball_quat = state.q[:, 10:14]
         ball_vel = state.qd[:, 9:12]        # root linear velocity: world frame
 
-        # leg force "sensors": net contact force on each lower leg
+        # 6-DOF leg force sensors (tray-leg create_asset_force_sensor):
+        # true contact wrench per lower leg, in the sensor (leg body) frame
         legs = [self.model.body_id(f"bbot/lower_leg{i}") for i in range(3)]
-        leg_f = state.net_contact[:, legs, :]   # (B,3,3)
+        frames = jax.vmap(
+            lambda q1, qd1: forward_kinematics(self.model, q1, qd1))(
+            state.q, state.qd)
+        lq = frames.quat[:, jnp.asarray(legs)]                 # (B,3,4)
+        leg_f = Q.rotate_inv(lq, state.net_contact[:, legs, :])
+        leg_t = Q.rotate_inv(lq, state.net_torque[:, legs, :])
+        # pack: forces of sensor0 + torques of the three sensors
+        # (ball_balance.py:346-350)
         sensors = jnp.concatenate(
-            [leg_f[:, 0], leg_f[:, 0] * 0, leg_f[:, 1] * 0, leg_f[:, 2] * 0], axis=-1)
-        # pack: forces of sensor0 + torques of the three sensors (:346-350);
-        # torques approximated as zero (penalty point contact)
+            [leg_f[:, 0], leg_t[:, 0], leg_t[:, 1], leg_t[:, 2]], axis=-1)
         obs = jnp.concatenate([
             jq[:, knee_ids], jqd[:, knee_ids],
             ball_pos, ball_vel,

@@ -33,6 +33,7 @@ from thormang_isaacgym_tpu.core import quat as Q
 from thormang_isaacgym_tpu.engine.env import Task
 from thormang_isaacgym_tpu.models import load_urdf
 from thormang_isaacgym_tpu.models.robot import DRIVE_EFFORT
+from thormang_isaacgym_tpu.ops.kinematics import forward_kinematics
 from thormang_isaacgym_tpu.ops.sim import Controls, SimParams
 from thormang_isaacgym_tpu.tasks import common
 
@@ -176,8 +177,16 @@ class Humanoid(Task):
         angle_to_target = common.normalize_angle(angle_to_target)
 
         dof_pos_scaled = common.unscale(jq, self.dof_lower[None], self.dof_upper[None])
-        feet = state.net_contact[:, self.feet, :]  # (B,2,3)
-        sensors = jnp.concatenate([feet, jnp.zeros_like(feet)], axis=-1).reshape(B, 12)
+        # 6-DOF feet force sensors (create_asset_force_sensor at identity
+        # pose, humanoid.py:163-168): full contact wrench about each foot
+        # origin, reported in the sensor (= foot body) frame
+        frames = jax.vmap(
+            lambda q1, qd1: forward_kinematics(self.model, q1, qd1))(
+            state.q, state.qd)
+        fq = frames.quat[:, jnp.asarray(self.feet)]            # (B,2,4)
+        feet_f = Q.rotate_inv(fq, state.net_contact[:, self.feet, :])
+        feet_t = Q.rotate_inv(fq, state.net_torque[:, self.feet, :])
+        sensors = jnp.concatenate([feet_f, feet_t], axis=-1).reshape(B, 12)
 
         obs = jnp.concatenate([
             pos[:, 2:3], vel_loc, angvel_loc * self.angular_velocity_scale,

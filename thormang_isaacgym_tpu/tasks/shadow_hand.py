@@ -313,15 +313,11 @@ class ShadowHand(Task):
             fpos, fquat, fvel, self.vel_obs_scale * fomega], axis=-1) \
             .reshape(B, 65)
         ft = jnp.asarray(self.fingertip_ids)
-        ft_force = state.net_contact[:, ft]                      # (B, 5, 3)
-        # torque half of the 6-D fingertip wrench (force_sensor tensor,
-        # shadow_hand.py:592-596): the engine tracks net force per body;
-        # the sensor torque is estimated as r x F with r = the tip-radius
-        # lever toward the object (the contact point of a fingertip pad
-        # pressing the held object) — zero when there is no contact
-        d = obj_pos[:, None, :] - fpos                           # (B, 5, 3)
-        d = d / (jnp.linalg.norm(d, axis=-1, keepdims=True) + 1e-9)
-        ft_torque = jnp.cross(d * 0.012, ft_force)               # pad r 12mm
+        # 6-D fingertip force sensors (force_sensor tensor,
+        # shadow_hand.py:592-596): true net contact force AND torque per
+        # tip body, in the sensor (tip) frame
+        ft_force = Q.rotate_inv(fquat, state.net_contact[:, ft])
+        ft_torque = Q.rotate_inv(fquat, state.net_torque[:, ft])
         ft_ft = jnp.concatenate(
             [ft_force, ft_torque], axis=-1).reshape(B, 30)
         return jnp.concatenate([

@@ -316,8 +316,9 @@ class Trifinger(Task):
 
     def compute_states(self, state, task_state):
         """Privileged states (trifinger.py:1408-1420): obs + object vel +
-        fingertip states + joint torques + tip wrenches (zeros — no
-        force-torque sensor model on the tips yet)."""
+        fingertip states + joint torques + 6-DOF tip wrenches (the
+        fingertip force sensors, trifinger.py create_asset_force_sensor):
+        contact force + torque per tip, rotated into the tip frame."""
         t = task_state
         B = state.q.shape[0]
         jq = state.q[:, 7:][:, self.dof_ids]
@@ -327,7 +328,11 @@ class Trifinger(Task):
             jq, jqd, obj[:, 0:7],
             jnp.concatenate([t.goal_pos, t.goal_quat], -1),
             t.actions], axis=-1)
-        wrench = jnp.zeros((B, 18))
+        tipb = [b for b, _, _ in self.tips]
+        tq = t.last_fingertip[:, :, 3:7]                      # tip quats
+        f_l = Q.rotate_inv(tq, state.net_contact[:, tipb, :])
+        t_l = Q.rotate_inv(tq, state.net_torque[:, tipb, :])
+        wrench = jnp.concatenate([f_l, t_l], axis=-1).reshape(B, 18)
         return jnp.concatenate([
             obs, obj[:, 7:13], t.last_fingertip.reshape(B, -1),
             t.torques, wrench], axis=-1)
