@@ -281,16 +281,25 @@ class MotionLib:
                 key_pos)
 
 
+def _load_any(path: str) -> dict:
+    """One clip from either our .npz layout or a reference poselib
+    SkeletonMotion .npy (learn/poselib.py ingestion)."""
+    if path.endswith(".npy"):
+        from thormang_isaacgym_tpu.learn import poselib
+        return poselib.load_motion_file(path)
+    return load_clip(path)
+
+
 def default_motion_lib(motion_file: str | None = None) -> MotionLib:
-    """Load a npz clip (or directory of them); fall back to the procedural
-    gait clip when the file is absent — mirroring the absent reference
-    motion assets."""
+    """Load clips (npz, or reference-format SkeletonMotion npy, or a
+    directory of either); fall back to the procedural gait clip when the
+    file is absent — mirroring the absent reference motion assets."""
     if motion_file and os.path.exists(motion_file):
         if os.path.isdir(motion_file):
-            clips = [load_clip(os.path.join(motion_file, f))
+            clips = [_load_any(os.path.join(motion_file, f))
                      for f in sorted(os.listdir(motion_file))
-                     if f.endswith(".npz")]
+                     if f.endswith((".npz", ".npy"))]
         else:
-            clips = [load_clip(motion_file)]
+            clips = [_load_any(motion_file)]
         return MotionLib(clips)
     return MotionLib([make_gait_clip()])

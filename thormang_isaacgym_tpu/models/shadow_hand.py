@@ -61,14 +61,13 @@ def _capsule_y(name, r, length, y0=0.0):
       <geometry><capsule radius="{r}" length="{length}"/></geometry></collision>"""
 
 
-def _joint(name, jtype, parent, child, xyz, axis, lo, hi, effort, vel=10.0,
+def _joint(name, jtype, parent, child, xyz, axis, lo, hi, effort, vel=4.0,
            damping=0.05):
-    # vel: the reference loads the hand through PhysX, whose DOF
-    # maxVelocity stays at the asset-converter default (effectively
-    # unbounded) — the fingers are EFFORT-limited only, so position steps
-    # complete in a few control ticks. The r3 model's 3 rad/s cap made a
-    # full curl take ~30 ticks (0.5 s), low-passing every policy action
-    # and stalling reorientation learning at "hold still".
+    # vel 4.0: the Shadow Hand datasheet joint speed (~4 rad/s). The
+    # r3 model used 3.0; 10 rad/s was tried while diagnosing the
+    # reorientation plateau and made exploratory flailing bat the held
+    # cube off the palm — the datasheet value keeps finger-cube
+    # interaction impulses physical.
     return f"""
   <joint name="{name}" type="revolute">
     <parent link="{parent}"/><child link="{child}"/>
@@ -94,9 +93,20 @@ def make_shadow_hand_urdf() -> str:
                         "robot0:palm", (0, -0.034, 0), (0, 1, 0), lo, hi, 2.2))
     # palm: box, top surface at local z=PALM_TOP_LOCAL (world 0.565 at the
     # reference hand pose z=0.5); object rests on it
+    # palm slab + the raised little-finger metacarpal ridge along the -x
+    # edge (the real hand's hypothenar bump; the public Shadow Hand MJCF
+    # models it as a dedicated lfmetacarpal box geom). Without it the palm
+    # is an open shelf: the held cube escapes -x (away from the thumb)
+    # under any finger activity, so every manipulation attempt ends the
+    # episode and "hold still" becomes the learned optimum.
+    # (the slab reaches y +0.034 — the carpal heel of the real palm, which
+    # continues into the wrist at palm-back height rather than dropping
+    # off a cliff 3 cm above the forearm)
     parts.append(_link("robot0:palm", 0.3, com=(0, -0.036, 0.05), collision=f"""
-    <collision name="palm_col"><origin xyz="0 -0.036 0.053"/>
-      <geometry><box size="0.084 0.11 0.024"/></geometry></collision>"""))
+    <collision name="palm_col"><origin xyz="0 -0.0285 0.053"/>
+      <geometry><box size="0.084 0.125 0.024"/></geometry></collision>
+    <collision name="palm_lfm_ridge"><origin xyz="-0.040 -0.0285 0.068"/>
+      <geometry><box size="0.008 0.125 0.018"/></geometry></collision>"""))
 
     seg = dict(proximal=0.045, middle=0.025, distal=0.026)
     r_ph = 0.009
