@@ -137,9 +137,16 @@ class ShadowHand(Task):
         ], name="shadow_hand_scene")
         self.model = scene
         self.nj = scene.nj
-        self.act_ids = np.array([scene.dof_id(n) for n in ACTUATED_DOF_NAMES])
-        self.fingertip_ids = np.array(
-            [scene.body_id(b) for b in FINGERTIP_BODIES])
+        if set(ACTUATED_DOF_NAMES) <= set(scene.joint_names):
+            self.act_ids = np.array(
+                [scene.dof_id(n) for n in ACTUATED_DOF_NAMES])
+            self.fingertip_ids = np.array(
+                [scene.body_id(b) for b in FINGERTIP_BODIES])
+        else:
+            # non-Shadow hand model (AllegroHand subclass): placeholder
+            # maps, overridden right after super().__init__
+            self.act_ids = np.arange(self.num_actions)
+            self.fingertip_ids = np.zeros(0, np.int64)
         self.object_body = scene.body_id("obj/object")
         d = scene._defaults
         self.dof_lower = jnp.asarray(np.array(d["dof_lower"]))
