@@ -69,7 +69,13 @@ def main(quick=False, only=None):
             cfg, minibatch_size=min(cfg.minibatch_size,
                                     n * cfg.horizon_length),
             max_epochs=epochs, mixed_precision=False)
-        env = make(task, num_envs=n, seed=7)
+        # stagger initial episode phases: at 64 envs the reference-style
+        # progress-0 start makes every env time out on the same step once
+        # the policy stops falling, so per-step reward sawtooths with the
+        # synchronized reset waves (the r3 Gogoro "epoch-49 collapse" was
+        # the third wave: 1000-step episodes / 64-step horizon = waves at
+        # epochs ~15.6/31.2/46.9, kl spiking to 0.13 at the wave)
+        env = make(task, num_envs=n, seed=7, stagger_episodes=True)
         algo = PPO(env, cfg)
         ts, env_state, hist = algo.train(epochs, seed=7, log_every=5)
         curve = [(h["epoch"], round(h["reward_mean"], 4)) for h in hist]

@@ -130,3 +130,17 @@ def test_nan_quarantine():
     assert int(state.progress[0]) == 6     # others unaffected
     state = env.step(state, jnp.zeros((4, 1)))
     assert bool(jnp.isfinite(state.obs).all())
+
+
+def test_stagger_episodes_decorrelates_timeouts():
+    """stagger_episodes randomizes initial progress so episode timeouts
+    spread out instead of firing in one synchronized wave (the r3 Gogoro
+    parity sawtooth)."""
+    env = tgx.make("Cartpole", num_envs=64, seed=0, stagger_episodes=True)
+    state = env.reset(jax.random.key(0))
+    p = np.asarray(state.progress)
+    assert p.min() >= 0 and p.max() < env.task.max_episode_length
+    assert np.unique(p).size > 16          # actually spread out
+    # and the default remains phase-locked at zero
+    env0 = tgx.make("Cartpole", num_envs=8, seed=0)
+    assert (np.asarray(env0.reset(jax.random.key(0)).progress) == 0).all()

@@ -169,8 +169,17 @@ class VecEnv:
         state = env.step(state, actions)      # jitted, donates state
     """
 
-    def __init__(self, task: Task, ground_height_fn=None):
+    def __init__(self, task: Task, ground_height_fn=None,
+                 stagger_episodes: bool = False):
+        # stagger_episodes: randomize each env's initial episode phase so
+        # timeouts desynchronize. With all envs spawned at progress 0 (the
+        # reference behavior), a policy that stops falling makes every env
+        # time out on the SAME step — at small env counts the whole batch
+        # resets in one wave and per-step reward sawtooths with the
+        # episode phase (the r3 Gogoro "epoch-49 collapse": the third
+        # synchronized wave, kl spike 0.13 from the distribution jump).
         self.task = task
+        self.stagger_episodes = stagger_episodes
         self.model = task.model
         self.physics_step = build_step_fn(
             task.model, task.sim_params,
@@ -223,6 +232,11 @@ class VecEnv:
         episode = jnp.zeros(B, jnp.int32)
         keys = _env_keys(key, episode, 0)
         q, qd, params, task_state = jax.vmap(task.reset_fn)(keys, params0, task_state)
+        progress0 = jnp.zeros(B, jnp.int32)
+        if self.stagger_episodes:
+            key, sub_p = jax.random.split(key)
+            progress0 = jax.random.randint(
+                sub_p, (B,), 0, max(int(task.max_episode_length) - 1, 1))
         if self._dr_active:
             base = task.model.default_params().batch(B)
             params = jax.vmap(
@@ -238,7 +252,7 @@ class VecEnv:
             reward=jnp.zeros(rew_shape),
             done=jnp.zeros(B),
             timeout=jnp.zeros(B),
-            progress=jnp.zeros(B, jnp.int32),
+            progress=progress0,
             net_contact=jnp.zeros((B, task.model.nb, 3)),
             net_torque=jnp.zeros((B, task.model.nb, 3)),
             key=key,

@@ -584,12 +584,19 @@ class PPO:
                 updates, opt_state = self.optimizer.update(grads, opt_state, params)
                 updates = jax.tree.map(lambda u: u * lr, updates)
                 params = optax.apply_updates(params, updates)
-                lr = self._adaptive_lr(lr, aux["kl"])
                 return (params, opt_state, lr), aux
 
             idxs = perm[: nmb * mb].reshape(nmb, mb)
             (params, opt_state, lr), auxs = jax.lax.scan(
                 mb_step, (params, opt_state, lr), idxs)
+            # rl_games AdaptiveScheduler semantics: the lr adapts once per
+            # MINI-EPOCH on the kl averaged over its minibatches
+            # (a2c_common.train_epoch), not per minibatch on the raw
+            # minibatch kl — the latter oscillates at small minibatch
+            # sizes and caused the reduced-scale Gogoro collapse
+            # (PARITY_r03 epoch 49: lr pumped to 1.7e-3, then a kl=0.13
+            # update destroyed the policy).
+            lr = self._adaptive_lr(lr, auxs["kl"].mean())
             return (params, opt_state, lr), auxs
 
         keys = jax.random.split(k_perm, cfg.mini_epochs)

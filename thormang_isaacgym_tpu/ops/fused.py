@@ -756,10 +756,12 @@ def _pair_candidate_count(model: RobotModel) -> int:
     return sum(counts[k] for (_, _, k) in collide_mod._pairs(model))
 
 
-# pair-candidate budget: above this the unrolled narrowphase makes the
-# Mosaic kernel too large to compile usefully (e.g. MA_OP3's two full
-# humanoids vs each other is ~10^3 pairs) — fall back to the XLA path
-_MAX_PAIR_CANDIDATES = 256
+# pair-candidate budget: a runaway guard on the unrolled narrowphase.
+# Measured Mosaic compiles (1 v5e chip): ShadowHand 94 cands ~38 s,
+# Factory nut+bolt 340 ~75 s, MA_OP3 (two full humanoids + table) 699
+# ~194 s — all yielding ~0.2-1.5M env-steps/s vs the per-op XLA path's
+# tens of k. Scenes beyond the budget fall back to the XLA path.
+_MAX_PAIR_CANDIDATES = 1024
 
 
 def fused_eligible(model: RobotModel, ground_height_fn, attractors) -> bool:

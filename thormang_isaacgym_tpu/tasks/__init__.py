@@ -141,6 +141,7 @@ def make(task_name: str, num_envs: int | None = None, seed: int = 42,
 
     cls = get_task_class(task_name)
     kwargs = dict(overrides)
+    stagger = bool(kwargs.pop("stagger_episodes", False))
     env_cfg = (cfg or {}).get("env", {})
     for ykey, ckey in _CTOR_KEYS.items():
         if ykey in env_cfg and ckey not in kwargs:
@@ -166,4 +167,5 @@ def make(task_name: str, num_envs: int | None = None, seed: int = 42,
     ground_fn = None
     if hasattr(task, "ground_height_fn"):
         ground_fn = task.ground_height_fn()
-    return VecEnv(task, ground_height_fn=ground_fn)
+    return VecEnv(task, ground_height_fn=ground_fn,
+                  stagger_episodes=stagger)
