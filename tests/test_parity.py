@@ -25,21 +25,20 @@ def test_gogoro_golden():
     assert check_or_record("gogoro_4env_30step", env, steps=30) in ("recorded", "matched")
 
 
-def test_parity_r03_artifact():
-    """PARITY_r03.json (scripts/record_parity.py): reduced-scale learning
-    curves at reference hyperparameters must have passed their floors when
-    recorded (BASELINE.json return-parity bar). Re-recording is done by the
-    script on real hardware; CI just guards the committed artifact."""
+def test_parity_artifact():
+    """PARITY_r04.json (scripts/record_parity.py): reduced-scale learning
+    curves at reference hyperparameters must pass the strict r4 metric
+    (last-point floor AND max-to-last drawdown cap). Re-recording is done
+    by the script; CI guards the committed artifact."""
     import json
-    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_r03.json")
+    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_r04.json")
     if not os.path.exists(path):
-        pytest.skip("PARITY_r03.json not recorded yet")
+        pytest.skip("PARITY_r04.json not recorded yet")
     with open(path) as f:
         art = json.load(f)
-    assert art["schema"] == "parity_curve_v1"
-    assert art["tasks"], "empty parity artifact"
-    for task, rec in art["tasks"].items():
-        assert rec["passed"], f"{task} failed its floor when recorded: {rec}"
-        # curves rise: final over first
-        first = rec["curve"][0][1]
-        assert rec["final_reward_mean"] > first, (task, rec["curve"])
+    assert art["schema"] == "parity_curve_v2"
+    assert len(art["tasks"]) >= 6, "r4 coverage bar: >= 6 tasks"
+    for name, t in art["tasks"].items():
+        assert t["passed"], (name, t["last_reward_mean"], t["floor"])
+        # curves rise: last over first
+        assert t["last_reward_mean"] > t["curve"][0][1], (name, t["curve"])
