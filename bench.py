@@ -76,9 +76,14 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(rate / 100_000.0, 3),
     }
+    # the driver contract (ONE stdout JSON line) must survive a timeout
+    # mid-secondary: print the flagship FIRST, secondaries go to stderr
+    print(json.dumps(flagship), flush=True)
 
-    # secondary benches (stderr): humanoid-scale + manipulation-scale
-    for name, n in (("Humanoid", 4096), ("ShadowHand", 1024)):
+    # secondary benches (stderr): humanoid-scale + manipulation-scale +
+    # the contact-rich factory scene (fused pair-collision kernel)
+    for name, n in (("Humanoid", 4096), ("ShadowHand", 1024),
+                    ("FactoryTaskNutBoltPick", 1024)):
         if os.environ.get("THORMANG_BENCH_SECONDARY", "1") != "1":
             break
         try:
@@ -93,8 +98,6 @@ def main():
             del env2
         except Exception as e:  # secondary benches must not break the line
             print(f"secondary bench {name} failed: {e}", file=sys.stderr)
-
-    print(json.dumps(flagship))
 
 
 if __name__ == "__main__":

@@ -392,10 +392,11 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
     rows_a = np.zeros((nb, len(cands)), np.float32)
     rows_b = np.zeros((nb, len(cands)), np.float32)
     fcols, tacols, tbcols = [], [], []
-    # implicit-damper u vectors, link frame: per contact, per touched body,
-    # 3 directions (normal + 2 tangents — tangent damping IS the stiction)
-    u_cols = []
-    u_body_rows = np.zeros((nb, 6 * len(cands)), np.float32)
+    # implicit-damper terms, link frame: per contact, per touched body —
+    # one NORMAL rank-1 column (weight M_n - M_t) + one isotropic G term
+    # (lever arm r, weight M_t); tangent damping IS the stiction
+    un_cols, un_w, g_r, g_w = [], [], [], []
+    u_body_rows = np.zeros((nb, 2 * len(cands)), np.float32)
 
     for k_i, (ia, ib, ba, bb, n, depth, cp) in enumerate(cands):
         active = depth > 0
@@ -461,21 +462,20 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
         gate = (active & (vn < 0.5 * max_depenetration_velocity)).astype(jnp.float32)
         M_add_n = h * D_imp * gate
         M_add_t = h * c_t * active.astype(jnp.float32)
-        # tangent basis (any orthonormal pair perpendicular to n: damping is
-        # isotropic in the tangent plane)
-        ref = jnp.where(jnp.abs(n[0]) < 0.9,
-                        jnp.asarray([1.0, 0.0, 0.0]),
-                        jnp.asarray([0.0, 1.0, 0.0]))
-        t1 = jnp.cross(n, ref)
-        t1 = t1 / (jnp.linalg.norm(t1) + 1e-9)
-        t2 = jnp.cross(n, t1)
+        # tangent damping is isotropic in the contact tangent plane, so
+        # instead of building an explicit (t1, t2) basis the tangent sum
+        # collapses via sum_k u(e_k) u(e_k)^T = U U^T with U = [skew(r); I]:
+        # dIA = (M_n - M_t) u(n) u(n)^T + M_t U U^T  (same matrix, ~3x
+        # fewer terms; mirrored in the fused kernel's _symI_G_add)
         for body in (ba, bb):
             r_l = Q.rotate_inv(frames.quat[body], cp - frames.pos[body])
-            for vec, M_add in ((n, M_add_n), (t1, M_add_t), (t2, M_add_t)):
-                v_l = Q.rotate_inv(frames.quat[body], vec)
-                u = jnp.concatenate([jnp.cross(r_l, v_l), v_l])
-                u_cols.append(u * jnp.sqrt(M_add))
-                u_body_rows[body, len(u_cols) - 1] = 1.0
+            n_l = Q.rotate_inv(frames.quat[body], n)
+            u = jnp.concatenate([jnp.cross(r_l, n_l), n_l])
+            un_cols.append(u)
+            un_w.append(M_add_n - M_add_t)
+            g_r.append(r_l)
+            g_w.append(M_add_t)
+            u_body_rows[body, len(un_cols) - 1] = 1.0
 
     F_a = jnp.stack(fcols)
     T_a = jnp.stack(tacols)
@@ -488,9 +488,26 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
     # (F_a is the reaction on a; force on b is -F_a)
     net = A @ F_a + Bm @ (-F_a)
 
-    # dIA: sum of (sqrt(M) u)(sqrt(M) u)^T per body
-    U = jnp.stack(u_cols)                       # (6P, 6)
+    # dIA: per column, (M_n - M_t) u u^T + M_t [[|r|^2 I - r r^T, skew(r)],
+    #                                           [skew(r)^T,       I     ]]
+    U = jnp.stack(un_cols)                      # (2P, 6)
+    w_n = jnp.stack(un_w)                       # (2P,)
+    r = jnp.stack(g_r)                          # (2P, 3)
+    w_t = jnp.stack(g_w)                        # (2P,)
     sel = jnp.asarray(u_body_rows)              # (nb, 2P)
-    outer = U[:, :, None] * U[:, None, :]       # (6P, 6, 6)
+    outer = (w_n[:, None, None] * U[:, :, None]) * U[:, None, :]
+    eye3 = jnp.eye(3)
+    rr = jnp.sum(r * r, axis=-1)                # (2P,)
+    A = rr[:, None, None] * eye3 - r[:, :, None] * r[:, None, :]
+    sk = jnp.zeros((r.shape[0], 3, 3))
+    sk = sk.at[:, 0, 1].set(-r[:, 2]).at[:, 0, 2].set(r[:, 1]) \
+           .at[:, 1, 0].set(r[:, 2]).at[:, 1, 2].set(-r[:, 0]) \
+           .at[:, 2, 0].set(-r[:, 1]).at[:, 2, 1].set(r[:, 0])
+    G = jnp.concatenate([
+        jnp.concatenate([A, sk], axis=-1),
+        jnp.concatenate([jnp.swapaxes(sk, -1, -2),
+                         jnp.broadcast_to(eye3, A.shape)], axis=-1),
+    ], axis=-2)                                 # (2P, 6, 6)
+    outer = outer + w_t[:, None, None] * G
     dIA = jnp.einsum("bp,pij->bij", sel, outer)
     return f_ext, dIA, net
