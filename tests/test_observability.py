@@ -111,3 +111,28 @@ def test_replay_logger_and_html(tmp_path):
     data = _json.loads(text.split("const F=")[1].split(", dt=")[0])
     assert len(data) == 5
     assert len(data[0]) == env.task.model.ng
+
+
+def test_render_video_gif(tmp_path):
+    """render_video (RecordVideo equivalent, train.py:114-121): a logged
+    rollout renders to an animated GIF."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import thormang_isaacgym_tpu as tgx
+    from thormang_isaacgym_tpu.runtime.replay import StateLogger, render_video
+
+    env = tgx.make("Cartpole", num_envs=2, seed=0)
+    state = env.reset(jax.random.key(0))
+    log = StateLogger(env.task.model, dt=1 / 60)
+    for _ in range(12):
+        state = env.step(state, jnp.zeros((2, 1)))
+        log.add(np.asarray(state.q[0]))
+    path = str(tmp_path / "roll.gif")
+    render_video(log, path, every=2)
+    import os
+    assert os.path.getsize(path) > 1000
+    from PIL import Image
+    im = Image.open(path)
+    assert getattr(im, "n_frames", 1) >= 2

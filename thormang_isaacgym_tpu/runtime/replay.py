@@ -89,10 +89,10 @@ def render_html(log: StateLogger, path: str, every: int = 1,
                 import jax.numpy as jnp
 
                 from thormang_isaacgym_tpu.core import quat as Q
+                # both capsule and cylinder geoms use the local z axis
+                # (the contact kernels' convention)
                 axis = np.asarray(Q.rotate(
-                    jnp.asarray(gq),
-                    jnp.asarray([0.0, 0, 1.0] if gtype == GEOM_CAPSULE
-                                else [0.0, 1.0, 0.0])))
+                    jnp.asarray(gq), jnp.asarray([0.0, 0.0, 1.0])))
                 h = size[1]
                 a = gp - axis * h
                 b = gp + axis * h
@@ -165,3 +165,82 @@ document.getElementById('play').onclick=()=>{
   timer=setInterval(()=>{sl.value=(+sl.value+1)%F.length;draw();},dt*1000);};
 </script></body></html>
 """
+
+
+def render_video(log: StateLogger, path: str, every: int = 1,
+                 view: str = "xz", figsize=(4.8, 3.6), dpi: int = 75,
+                 lim: float | None = None, title: str | None = None):
+    """Write an animated GIF of the logged trajectory — the video-capture
+    equivalent of the reference's `gym.wrappers.RecordVideo` path
+    (`train.py:114-121`): an orthographic schematic render (matplotlib +
+    PIL; spheres/capsule endpoints as circles, capsules/cylinders as
+    thick segments, boxes as bounding squares) with the ground line.
+
+    view: projection plane, one of "xy", "xz", "yz".
+    """
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from PIL import Image
+
+    ix, iy = {"xy": (0, 1), "xz": (0, 2), "yz": (1, 2)}[view]
+    model = log.model
+
+    # fixed view bounds from the whole trajectory (stable camera)
+    pts = []
+    frames_geoms = []
+    for q in log.qs[::every]:
+        geoms = _geom_frames(model, q)
+        frames_geoms.append(geoms)
+        for gp, _, _, size in geoms:
+            pts.append(gp)
+    pts = np.asarray(pts)
+    c = pts.mean(axis=0)
+    if lim is None:
+        lim = max(float(np.abs(pts - c).max()) * 1.3, 0.5)
+
+    import jax.numpy as jnp
+
+    from thormang_isaacgym_tpu.core import quat as Q
+
+    images = []
+    for geoms in frames_geoms:
+        fig, ax = plt.subplots(figsize=figsize, dpi=dpi)
+        if view in ("xz", "yz"):
+            ax.axhline(0.0, color="#888", lw=1)
+        for gp, gq, gtype, size in geoms:
+            x, y = gp[ix], gp[iy]
+            if gtype == GEOM_SPHERE:
+                ax.add_patch(plt.Circle((x, y), size[0], fc="#4a90d9",
+                                        ec="#1b4f8a", alpha=0.8))
+            elif gtype in (GEOM_CAPSULE, GEOM_CYLINDER):
+                axis = np.asarray(Q.rotate(jnp.asarray(gq),
+                                           jnp.asarray([0.0, 0.0, 1.0])))
+                a = gp - axis * size[1]
+                b = gp + axis * size[1]
+                ax.plot([a[ix], b[ix]], [a[iy], b[iy]],
+                        lw=max(size[0] * 2 * dpi * figsize[0] / (2 * lim)
+                               * 0.5, 2),
+                        color="#4a90d9", solid_capstyle="round", alpha=0.8)
+            else:  # box: axis-aligned bounding square of the half-extents
+                r = float(np.linalg.norm(size))
+                hx = hy = r * 0.8
+                ax.add_patch(plt.Rectangle((x - hx, y - hy), 2 * hx, 2 * hy,
+                                           fc="#e0a84a", ec="#8a5f1b",
+                                           alpha=0.7))
+        ax.set_xlim(c[ix] - lim, c[ix] + lim)
+        ax.set_ylim(c[iy] - lim, c[iy] + lim)
+        ax.set_aspect("equal")
+        ax.set_title(title or model.name, fontsize=9)
+        ax.tick_params(labelsize=6)
+        fig.tight_layout(pad=0.3)
+        fig.canvas.draw()
+        w, h = fig.canvas.get_width_height()
+        buf = np.frombuffer(fig.canvas.buffer_rgba(), np.uint8)
+        images.append(Image.fromarray(
+            buf.reshape(h, w, 4)[..., :3].copy()))
+        plt.close(fig)
+    ms = max(int(1000 * log.dt * every), 20)
+    images[0].save(path, save_all=True, append_images=images[1:],
+                   duration=ms, loop=0)
+    return path

@@ -94,7 +94,14 @@ def main(argv=None):
         print(f"restored checkpoint {ckpt}")
 
     if cfg.get("test"):
-        return play(env, ppo, ts, episodes=int(cfg.get("test_episodes", 3)))
+        video = None
+        if cfg.get("capture_video"):
+            # RecordVideo equivalent (reference train.py:114-121): write a
+            # GIF of env 0's evaluation rollout under runs/<exp>/videos/
+            os.makedirs(os.path.join(run_dir, "videos"), exist_ok=True)
+            video = os.path.join(run_dir, "videos", "eval.gif")
+        return play(env, ppo, ts, episodes=int(cfg.get("test_episodes", 3)),
+                    video=video)
 
     max_iter = int(cfg.get("max_iterations", 1000))
     log_path = os.path.join(run_dir, "metrics.jsonl")
@@ -146,7 +153,7 @@ def main(argv=None):
     return ts
 
 
-def play(env, ppo, ts, episodes=3):
+def play(env, ppo, ts, episodes=3, video=None):
     """Deterministic policy evaluation (the reference's test=True path)."""
     import numpy as np
 
@@ -156,9 +163,16 @@ def play(env, ppo, ts, episodes=3):
     act = jax.jit(ppo.act_deterministic)
     total, count = 0.0, 0
     returns = np.zeros(env.num_envs)
+    logger = None
+    if video:
+        from thormang_isaacgym_tpu.runtime.replay import StateLogger
+        logger = StateLogger(env.task.model,
+                             dt=getattr(env.task.sim_params, "dt", 1 / 30))
     for _ in range(env.task.max_episode_length * episodes):
         actions = act(ts, state.obs)
         state = step(state, actions)
+        if logger is not None and len(logger) < 300:
+            logger.add(np.asarray(state.q[0]))
         r = np.asarray(state.reward)
         d = np.asarray(state.done)
         returns += r
@@ -170,6 +184,10 @@ def play(env, ppo, ts, episodes=3):
         if count >= episodes * env.num_envs:
             break
     mean_ret = total / max(count, 1)
+    if logger is not None and len(logger):
+        from thormang_isaacgym_tpu.runtime.replay import render_video
+        render_video(logger, video, every=2)
+        print(f"video written to {video}")
     print(json.dumps({"play_mean_return": mean_ret, "episodes": count}))
     return mean_ret
 
