@@ -96,6 +96,11 @@ class Task:
     control_freq_inv: int = 1    # physics steps per control step (vec_task.py:332)
     # optional declarative DR config (reference randomization_params schema)
     dr_config: Optional[dict] = None
+    # tasks that read EnvState.net_torque (6-DOF force sensors) MUST set
+    # this so the physics backend accumulates per-body contact torque;
+    # when False the fused kernel skips it (tests/test_fused.py enforces
+    # the contract by source scan)
+    uses_net_torque: bool = False
 
     def __init__(self, num_envs: int, seed: int = 42):
         self.num_envs = num_envs
@@ -184,7 +189,8 @@ class VecEnv:
         self.physics_step = build_step_fn(
             task.model, task.sim_params,
             ground_height_fn=ground_height_fn,
-            attractors=getattr(task, "attractors", None))
+            attractors=getattr(task, "attractors", None),
+            need_torque=getattr(task, "uses_net_torque", False))
         self.num_envs = task.num_envs
         self.num_obs = task.num_obs
         self.num_actions = task.num_actions

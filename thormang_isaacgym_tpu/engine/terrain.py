@@ -54,6 +54,99 @@ class Heightfield:
 
         return fn
 
+    def height_and_grad_fn(self):
+        """Returns fn(x, y) -> (z, dz/dx, dz/dy): bilinear height plus the
+        EXACT within-cell gradient of the bilinear patch (piecewise linear
+        in the other coordinate, discontinuous only across cell edges).
+        Used by both contact backends for sloped-terrain contact normals:
+        the XLA path per substep (ops/contact.py) and the fused kernel's
+        per-control-step local-plane rows (ops/fused._ground_plane_sampler),
+        so the two paths sample the identical surface model."""
+        table = jnp.asarray(self.heights * self.v_scale)
+        H, W = self.heights.shape
+        hs = self.h_scale
+        ox, oy = float(self.origin[0]), float(self.origin[1])
+
+        def fn(x, y):
+            gx = (x - ox) / hs
+            gy = (y - oy) / hs
+            i0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, H - 2)
+            j0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, W - 2)
+            fx = jnp.clip(gx - i0, 0.0, 1.0)
+            fy = jnp.clip(gy - j0, 0.0, 1.0)
+            h00 = table[i0, j0]
+            h10 = table[i0 + 1, j0]
+            h01 = table[i0, j0 + 1]
+            h11 = table[i0 + 1, j0 + 1]
+            z = (h00 * (1 - fx) * (1 - fy) + h10 * fx * (1 - fy)
+                 + h01 * (1 - fx) * fy + h11 * fx * fy)
+            dzdx = ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) / hs
+            dzdy = ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) / hs
+            return z, dzdx, dzdy
+
+        return fn
+
+    def clustered_fn(self, patch_cells: int = 32, grad: bool = False):
+        """Bilinear sampler for per-env CLUSTERED query points, as
+        elementwise math + two batched matmuls — no gather in the hot loop.
+
+        XLA on TPU lowers a plain `table[i, j]` gather placed inside a
+        `while` loop (every training/bench step lives in one) to a scoped-
+        memory serial fusion: measured 23.7 ms for 4096x140 points on a v5e
+        where the identical gather OUTSIDE a loop takes 1.4 ms. This
+        formulation instead slices one (P, P) patch per env around its
+        query cluster (vmapped dynamic_slice) and evaluates the bilinear
+        surface as z = U @ patch @ V with per-point hat-basis weight
+        vectors U, V — identical values to `height_fn` (the hat basis IS
+        bilinear interpolation), 6x faster in-loop, and MXU-shaped.
+
+        Constraint: each env's points must span < (patch_cells - 2) cells
+        per axis; wider spreads clamp to the patch edge. Returns
+        fn(x (B, K), y (B, K)) -> z (B, K), or (z, dz/dx, dz/dy) when
+        grad=True (the gradient basis dU is the hat derivative, piecewise
+        constant — the exact within-cell bilinear gradient)."""
+        import jax
+
+        table = jnp.asarray(self.heights * self.v_scale)
+        H, W = self.heights.shape
+        hs = self.h_scale
+        ox, oy = float(self.origin[0]), float(self.origin[1])
+        P = min(int(patch_cells), H, W)
+
+        def fn(x, y):
+            gx = (x - ox) / hs
+            gy = (y - oy) / hs
+            ax = jnp.clip(jnp.floor(gx.min(axis=1)).astype(jnp.int32) - 1,
+                          0, H - P)
+            ay = jnp.clip(jnp.floor(gy.min(axis=1)).astype(jnp.int32) - 1,
+                          0, W - P)
+            patch = jax.vmap(
+                lambda i, j: jax.lax.dynamic_slice(table, (i, j), (P, P))
+            )(ax, ay)                                        # (B, P, P)
+            lx = jnp.clip(gx - ax[:, None], 0.0, P - 1.001)
+            ly = jnp.clip(gy - ay[:, None], 0.0, P - 1.001)
+            ar = jnp.arange(P, dtype=jnp.float32)
+            U = jnp.maximum(0.0, 1.0 - jnp.abs(lx[..., None] - ar))
+            V = jnp.maximum(0.0, 1.0 - jnp.abs(ly[..., None] - ar))
+            z = jnp.einsum('bpi,bij,bpj->bp', U, patch, V)
+            if not grad:
+                return z
+            # derivative basis with the same floor() cell convention as
+            # height_and_grad_fn: for lx in [i, i+1), dz/dlx uses rows
+            # i, i+1 — expressed as dU = 1[ar == i+1] - 1[ar == i]
+            # (a sign() hat-derivative would vanish at exact grid points)
+            i0x = jnp.clip(jnp.floor(lx), 0, P - 2)[..., None]
+            i0y = jnp.clip(jnp.floor(ly), 0, P - 2)[..., None]
+            dU = (ar == i0x + 1).astype(jnp.float32) \
+                - (ar == i0x).astype(jnp.float32)
+            dV = (ar == i0y + 1).astype(jnp.float32) \
+                - (ar == i0y).astype(jnp.float32)
+            dzdx = jnp.einsum('bpi,bij,bpj->bp', dU, patch, V) / hs
+            dzdy = jnp.einsum('bpi,bij,bpj->bp', U, patch, dV) / hs
+            return z, dzdx, dzdy
+
+        return fn
+
 
 # ---------------------------------------------------------------------------
 # sub-terrain generators (numpy; parity with isaacgym.terrain_utils usage)

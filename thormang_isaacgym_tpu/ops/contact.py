@@ -21,6 +21,7 @@ Single env; caller vmaps.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -77,6 +78,7 @@ def ground_contact_forces(
     dt: float | None = None,
     beta: float = 0.5,
     max_depenetration_velocity: float = 2.0,
+    ground_grad_fn=None,
 ):
     """Per-body external spatial force from ground contact.
 
@@ -85,7 +87,9 @@ def ground_contact_forces(
     reference's `acquire_net_contact_force_tensor` view.
 
     `ground_height_fn(x, y) -> z` enables heightfield terrain; None = plane
-    z=0.
+    z=0. `ground_grad_fn(x, y) -> (z, dz/dx, dz/dy)` additionally enables
+    SLOPED contact normals (the true terrain surface normal, like PhysX's
+    trimesh terrain contact) — without it the normal is world +z.
     """
     cand_geom, offsets, radii, is_rim = _static_candidates(model)
     if len(cand_geom) == 0:
@@ -123,18 +127,34 @@ def ground_contact_forces(
     eff_r = r_col * (1.0 - rim)
 
     # penetration (positive = penetrating) against plane or heightfield
-    if ground_height_fn is None:
-        ground_z = jnp.zeros(p.shape[0])
+    if ground_grad_fn is not None:
+        # sloped terrain: penetration along the local surface normal,
+        # n = (-gx, -gy, 1)/|.| (same local-plane model as the fused
+        # kernel's per-candidate ground rows, ops/fused.py)
+        ground_z, gslope_x, gslope_y = ground_grad_fn(p[:, 0], p[:, 1])
+        inv_nn = jax.lax.rsqrt(1.0 + gslope_x ** 2 + gslope_y ** 2)
+        n_g = jnp.stack([-gslope_x * inv_nn, -gslope_y * inv_nn, inv_nn],
+                        axis=-1)                               # (M, 3)
+        depth = (ground_z - p[:, 2]) * inv_nn + eff_r
+        contact_p = p - n_g * eff_r[:, None]
     else:
-        ground_z = ground_height_fn(p[:, 0], p[:, 1])
-    depth = ground_z - (p[:, 2] - eff_r)
-    contact_p = p.at[:, 2].add(-eff_r)           # contact point on surface
+        n_g = None
+        if ground_height_fn is None:
+            ground_z = jnp.zeros(p.shape[0])
+        else:
+            ground_z = ground_height_fn(p[:, 0], p[:, 1])
+        depth = ground_z - (p[:, 2] - eff_r)
+        contact_p = p.at[:, 2].add(-eff_r)       # contact point on surface
     active = depth > 0.0
 
     # contact point velocity
     v_p = vel + jnp.cross(omega, contact_p - body_pos)
-    vn = v_p[:, 2]
-    vt = v_p.at[:, 2].set(0.0)
+    if n_g is not None:
+        vn = jnp.sum(v_p * n_g, axis=-1)
+        vt = v_p - n_g * vn[:, None]
+    else:
+        vn = v_p[:, 2]
+        vt = v_p.at[:, 2].set(0.0)
     vt_norm = jnp.linalg.norm(vt, axis=-1)
 
     mu = params.geom_friction[cand_geom] * plane_friction
@@ -197,7 +217,10 @@ def ground_contact_forces(
         ft_mag = jnp.minimum(ft_mag, params.body_mass[gbody] * vt_norm / dt)
     ft = -ft_mag[:, None] * vt / jnp.maximum(vt_norm, 1e-6)[:, None]
 
-    f = ft.at[:, 2].add(fn)                       # (M,3) world force
+    if n_g is not None:
+        f = ft + n_g * fn[:, None]                # (M,3) world force
+    else:
+        f = ft.at[:, 2].add(fn)                   # (M,3) world force
     torque = jnp.cross(contact_p - body_pos, f)   # about body origin
 
     # accumulate to bodies by one-hot matmul (constant (nb, M) matrix) —

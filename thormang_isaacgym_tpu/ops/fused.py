@@ -764,12 +764,21 @@ def _pair_candidate_count(model: RobotModel) -> int:
 _MAX_PAIR_CANDIDATES = 1024
 
 
-def fused_eligible(model: RobotModel, ground_height_fn, attractors) -> bool:
-    if ground_height_fn is not None:
+def fused_eligible(model: RobotModel, ground, attractors) -> bool:
+    """ground is the normalized spec from ops.sim.build_step_fn: None / a
+    constant height (float) / an engine.terrain.Heightfield — all fused-able
+    — or an arbitrary callable, which only the XLA path can evaluate."""
+    if ground is not None and not isinstance(ground, (int, float)) \
+            and not _is_heightfield(ground):
         return False
     if _pair_candidate_count(model) > _MAX_PAIR_CANDIDATES:
         return False
     return True
+
+
+def _is_heightfield(ground) -> bool:
+    from thormang_isaacgym_tpu.engine.terrain import Heightfield
+    return isinstance(ground, Heightfield)
 
 
 @dataclasses.dataclass
@@ -803,10 +812,11 @@ class _Rows:
     wrench: int = 0
     tstiff: int = 0
     tdamp: int = 0
+    gplane: int = 0
     total: int = 0
 
 
-def _make_rows(model: RobotModel) -> _Rows:
+def _make_rows(model: RobotModel, ground_rows: int = 0) -> _Rows:
     nq, nv, nj, nb, ng = model.nq, model.nv, model.nj, model.nb, model.ng
     nt = len(getattr(model, "tendons", ()) or ())
     r = _Rows()
@@ -820,7 +830,8 @@ def _make_rows(model: RobotModel) -> _Rows:
                     ("kp", nj), ("kd", nj), ("eff_lim", nj),
                     ("locked", nj), ("locked_pos", nj),
                     ("geom_fric", ng), ("gravity", 3), ("wrench", 6 * nb),
-                    ("tstiff", nt), ("tdamp", nt)]:
+                    ("tstiff", nt), ("tdamp", nt),
+                    ("gplane", ground_rows)]:
         setattr(r, name, off)
         off += n
     r.total = off
@@ -832,12 +843,27 @@ def _make_rows(model: RobotModel) -> _Rows:
 # ===========================================================================
 
 def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
-                 attractors=()):
+                 attractors=(), hf_ground: bool = False,
+                 need_torque: bool = True):
+    """hf_ground: heightfield mode — the ground under each contact candidate
+    is a per-env LOCAL PLANE z = c + gx*x + gy*y whose 3 coefficients arrive
+    as input rows (rows.gplane), sampled from the heightfield outside the
+    kernel once per control step (build_fused_step_fn). For the flat case
+    the coefficients are trace-time floats (ground_z, 0, 0) and the sheet
+    micro-math folds the slope terms away, recovering the v1 instruction
+    stream exactly.
+
+    need_torque: when False the per-body net contact TORQUE accumulation
+    (the 6-DOF force-sensor half, engine/env.py EnvState.net_torque) is
+    skipped and the kernel outputs 3 rows/body instead of 6 — scenes whose
+    task never reads net_torque (Task.uses_net_torque=False) don't pay for
+    it."""
     from thormang_isaacgym_tpu.ops import collide as collide_mod
 
     nq, nv, nj, nb = model.nq, model.nv, model.nj, model.nb
     nr = model.n_roots
-    rows = _make_rows(model)
+    cands_n = len(_contact_candidates(model))
+    rows = _make_rows(model, ground_rows=3 * cands_n if hf_ground else 0)
     h = float(sp.dt / sp.substeps)
 
     parent = np.array(model.parent, np.int32)
@@ -923,7 +949,8 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
 
         q0 = tuple(rd(rows.q + i) for i in range(nq))
         qd0 = tuple(rd(rows.qd + i) for i in range(nv))
-        net0 = tuple(zero for _ in range(6 * nb))
+        net_dim = 6 if need_torque else 3
+        net0 = tuple(zero for _ in range(net_dim * nb))
 
         def substep(q, qd):
             jq = [q[7 * nf + j] for j in range(nj)]
@@ -990,7 +1017,8 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                 quat_w[b] = _qmul(quat_w[p], quat_local[j])
                 pos_w[b] = _vadd(pos_w[p], _qrot(quat_w[p], pos_local[j]))
 
-            # ---- ground contact (plane z = ground_z) ----
+            # ---- ground contact (plane z = ground_z, or per-candidate
+            # local plane rows in heightfield mode) ----
             f_ext_w = [[0.0] * 6 for _ in range(nb)]   # world [torque, force]
             net_w = [[0.0] * 3 for _ in range(nb)]
             net_t = [[0.0] * 3 for _ in range(nb)]   # net contact torque
@@ -1003,7 +1031,7 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                 # phase 1: candidate geometry + active flags
                 infos = []
                 n_active = {b: 0.0 for b in geom_bodies}
-                for c in cands:
+                for ci, c in enumerate(cands):
                     b = c["body"]
                     gq = _qmul(quat_w[b], c["gquat"])
                     gp = _vadd(pos_w[b], _qrot(quat_w[b], c["gpos"]))
@@ -1020,20 +1048,48 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                         eff_r = 0.0
                     else:
                         eff_r = c["r"]
-                    depth = ground_z - (mat(p_c[2]) - eff_r)
-                    cp = (p_c[0], p_c[1], _sub(p_c[2], eff_r))
+                    if hf_ground:
+                        # local ground plane under this candidate:
+                        # z(x, y) = gc + ggx*x + ggy*y (sampled outside)
+                        gc = rd(rows.gplane + 3 * ci)
+                        ggx = rd(rows.gplane + 3 * ci + 1)
+                        ggy = rd(rows.gplane + 3 * ci + 2)
+                        plane_z = _add(gc, _add(_mul(ggx, p_c[0]),
+                                                _mul(ggy, p_c[1])))
+                        # unit upward normal + cos(tilt)
+                        inv_nn = jax.lax.rsqrt(
+                            mat(_add(1.0, _add(_mul(ggx, ggx),
+                                               _mul(ggy, ggy)))))
+                        n_g = (_neg(_mul(ggx, inv_nn)),
+                               _neg(_mul(ggy, inv_nn)), inv_nn)
+                        # penetration along the normal: vertical gap x cos
+                        depth = _add(_mul(_sub(plane_z, p_c[2]), inv_nn),
+                                     eff_r)
+                        cp = tuple(_sub(p_c[k], _mul(n_g[k], eff_r))
+                                   for k in range(3))
+                    else:
+                        n_g = None       # flat: world +z, folded paths below
+                        depth = ground_z - (mat(p_c[2]) - eff_r)
+                        cp = (p_c[0], p_c[1], _sub(p_c[2], eff_r))
                     active = (depth > 0.0).astype(f32)
                     n_active[b] = _add(n_active[b], active)
-                    infos.append((c, cp, depth, active))
+                    infos.append((c, cp, depth, active, n_g))
                 # phase 2: forces
-                for (c, cp, depth, active) in infos:
+                for (c, cp, depth, active, n_g) in infos:
                     b = c["body"]
                     r_arm = _vsub(cp, pos_w[b])
                     v_p = _vadd(vl_w[b], _cross(om_w[b], r_arm))
-                    vn = mat(v_p[2])
-                    vt = (v_p[0], v_p[1], 0.0)
-                    vt_norm = jnp.sqrt(mat(_add(_mul(vt[0], vt[0]),
-                                                _mul(vt[1], vt[1]))) + 1e-18)
+                    if n_g is None:
+                        vn = mat(v_p[2])
+                        vt = (v_p[0], v_p[1], 0.0)
+                        vt_norm = jnp.sqrt(mat(_add(_mul(vt[0], vt[0]),
+                                                    _mul(vt[1], vt[1])))
+                                           + 1e-18)
+                    else:
+                        vn = mat(_dot3(v_p, n_g))
+                        vt = tuple(_sub(v_p[k], _mul(n_g[k], vn))
+                                   for k in range(3))
+                        vt_norm = jnp.sqrt(mat(_dot3(vt, vt)) + 1e-18)
                     mu = geom_fric[c["geom"]] * float(sp.plane_friction)
                     r_perp2 = mat(_add(_mul(r_arm[0], r_arm[0]),
                                        _mul(r_arm[1], r_arm[1])))
@@ -1055,13 +1111,18 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                     ft_mag = mu * fn * jnp.tanh(vt_norm / float(sp.friction_vel))
                     ft_mag = jnp.minimum(ft_mag, mass[b] * vt_norm / h)
                     scale = -ft_mag / jnp.maximum(vt_norm, 1e-6)
-                    f = (_mul(vt[0], scale), _mul(vt[1], scale), fn)
+                    if n_g is None:
+                        f = (_mul(vt[0], scale), _mul(vt[1], scale), fn)
+                    else:
+                        f = tuple(_add(_mul(n_g[k], fn), _mul(vt[k], scale))
+                                  for k in range(3))
                     tq = _cross(r_arm, f)
                     for k in range(3):
                         f_ext_w[b][k] = _add(f_ext_w[b][k], tq[k])
                         f_ext_w[b][3 + k] = _add(f_ext_w[b][3 + k], f[k])
                         net_w[b][k] = _add(net_w[b][k], f[k])
-                        net_t[b][k] = _add(net_t[b][k], tq[k])
+                        if need_torque:
+                            net_t[b][k] = _add(net_t[b][k], tq[k])
 
             # external wrenches
             for b in range(nb):
@@ -1132,8 +1193,9 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                                                   f_on_b[k])
                         net_w[ba][k] = _sub(net_w[ba][k], f_on_b[k])
                         net_w[bb][k] = _add(net_w[bb][k], f_on_b[k])
-                        net_t[ba][k] = _add(net_t[ba][k], t_a[k])
-                        net_t[bb][k] = _add(net_t[bb][k], t_b[k])
+                        if need_torque:
+                            net_t[ba][k] = _add(net_t[ba][k], t_a[k])
+                            net_t[bb][k] = _add(net_t[bb][k], t_b[k])
                     # implicit velocity reaction -> added inertia.
                     # Tangent damping is isotropic in the contact tangent
                     # plane, so instead of building an explicit (t1, t2)
@@ -1358,9 +1420,13 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                 q_new[7 * nf + j] = q2
                 qd_new[6 * nf + j] = v2
 
-            net_flat = tuple(
-                mat((net_w[b] + net_t[b])[k])
-                for b in range(nb) for k in range(6))
+            if need_torque:
+                net_flat = tuple(
+                    mat((net_w[b] + net_t[b])[k])
+                    for b in range(nb) for k in range(6))
+            else:
+                net_flat = tuple(
+                    mat(net_w[b][k]) for b in range(nb) for k in range(3))
             return tuple(q_new), tuple(qd_new), net_flat
 
         def body_fn(k, carry):
@@ -1374,7 +1440,7 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
             out_ref[i, 0] = q[i]
         for i in range(nv):
             out_ref[nq + i, 0] = qd[i]
-        for i in range(6 * nb):
+        for i in range(net_dim * nb):
             out_ref[nq + nv + i, 0] = net[i]
 
     return kernel, rows
@@ -1397,19 +1463,68 @@ class _FakeRef:
         self.arr = self.arr.at[idx].set(val)
 
 
+def _ground_plane_sampler(model: RobotModel, hf):
+    """Batched (B, nq) q -> (B, 3C) per-candidate local ground plane rows
+    (c, gx, gy) with z(x, y) = c + gx*x + gy*y, sampled from the heightfield
+    at each candidate's CURRENT world xy — once per control step, in plain
+    XLA where gathers are free, then frozen across the kernel's substeps.
+    At <= a few cm of motion per control step this is a sub-cell
+    approximation of the bilinear surface (terrain cells are 10 cm)."""
+    from thormang_isaacgym_tpu.core import quat as Q
+    from thormang_isaacgym_tpu.ops.kinematics import forward_kinematics
+
+    cands = _contact_candidates(model)
+    bodies = np.array([c["body"] for c in cands])
+    gpos = np.array([c["gpos"] for c in cands], np.float32)
+    gquat = np.array([c["gquat"] for c in cands], np.float32)
+    offs = np.array([c["off"] for c in cands], np.float32)
+    # clustered patch sampler: a robot's contact candidates all sit within
+    # its body extent (<< 32 cells), and a plain table gather inside the
+    # jitted train/bench loop is ~16x slower on TPU (terrain.clustered_fn)
+    hgfn = hf.clustered_fn(patch_cells=32, grad=True)
+    zeros_qd = jnp.zeros(model.nv)
+
+    def one_env(q):
+        frames = forward_kinematics(model, q, zeros_qd)
+        bq = frames.quat[bodies]
+        bp = frames.pos[bodies]
+        gq = Q.mul(bq, jnp.asarray(gquat))
+        gp = bp + Q.rotate(bq, jnp.asarray(gpos))
+        return gp + Q.rotate(gq, jnp.asarray(offs))        # (C, 3)
+
+    def sample(q):
+        pc = jax.vmap(one_env)(q)                          # (B, C, 3)
+        x, y = pc[..., 0], pc[..., 1]
+        z0, gx, gy = hgfn(x, y)                            # (B, C) each
+        c0 = z0 - gx * x - gy * y
+        return jnp.stack([c0, gx, gy], axis=-1).reshape(q.shape[0], -1)
+
+    return sample
+
+
 def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
-                        ground_z: float = 0.0, env_block: int = 512,
-                        interpret: bool | None = None, attractors=()):
+                        ground=0.0, env_block: int = 512,
+                        interpret: bool | None = None, attractors=(),
+                        need_torque: bool = True):
     """Returns step(params, q, qd, ctrl, wrench) -> (q', qd', net), batched,
     running `n_steps` substeps (default sim_params.substeps) in ONE kernel.
+
+    ground: constant plane height (float) or an engine.terrain.Heightfield
+    (per-candidate local-plane terrain contact; see _ground_plane_sampler).
 
     interpret=True (default off-TPU) runs the kernel body as a plain traced
     jnp function via _FakeRef instead of lowering through Mosaic."""
     n_steps = int(n_steps if n_steps is not None else sim_params.substeps)
+    hf = ground if _is_heightfield(ground) else None
+    ground_z = 0.0 if hf is not None else float(ground or 0.0)
     kernel, rows = _make_kernel(model, sim_params, n_steps, ground_z,
-                                attractors=attractors)
+                                attractors=attractors,
+                                hf_ground=hf is not None,
+                                need_torque=need_torque)
+    plane_rows_fn = _ground_plane_sampler(model, hf) if hf is not None else None
     nq, nv, nb = model.nq, model.nv, model.nb
-    out_rows = nq + nv + 6 * nb
+    net_dim = 6 if need_torque else 3
+    out_rows = nq + nv + net_dim * nb
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1446,6 +1561,8 @@ def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
         nt = len(getattr(model, "tendons", ()) or ())
         if nt:
             cols += [TT(params.tendon_stiffness), TT(params.tendon_damping)]
+        if plane_rows_fn is not None:
+            cols.append(TT(plane_rows_fn(q)))
         packed = jnp.concatenate(cols, axis=0)          # (R, B)
         assert packed.shape[0] == rows.total
 
@@ -1464,7 +1581,9 @@ def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
             out = fake_out.arr.reshape(out_rows, Bp)[:, :B]
             q2 = out[:nq].T
             qd2 = out[nq:nq + nv].T
-            net = out[nq + nv:].T.reshape(B, nb, 6)
+            net = out[nq + nv:].T.reshape(B, nb, net_dim)
+            if net_dim == 3:
+                net = jnp.concatenate([net, jnp.zeros_like(net)], axis=-1)
             return q2, qd2, net
         S = eb // 128
         nblk = Bp // eb
@@ -1495,7 +1614,9 @@ def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
         out = out.reshape(out_rows, Bp)[:, :B]
         q2 = out[:nq].T
         qd2 = out[nq:nq + nv].T
-        net = out[nq + nv:].T.reshape(B, nb, 6)
+        net = out[nq + nv:].T.reshape(B, nb, net_dim)
+        if net_dim == 3:
+            net = jnp.concatenate([net, jnp.zeros_like(net)], axis=-1)
         return q2, qd2, net
 
     return step

@@ -71,7 +71,7 @@ def zero_controls(model: RobotModel, batch: int | None = None) -> Controls:
 def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
              q: jnp.ndarray, qd: jnp.ndarray, ctrl: Controls,
              body_wrench_w: jnp.ndarray, ground_height_fn=None,
-             attractors=None):
+             attractors=None, ground_grad_fn=None):
     """One physics substep for one env."""
     h = sp_.dt / sp_.substeps
     # per-env gravity (ModelParams leaf) so DR can scale it; SimParams.gravity
@@ -88,6 +88,7 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
         stiffness=sp_.contact_stiffness, damping=sp_.contact_damping,
         friction_vel=sp_.friction_vel, plane_friction=sp_.plane_friction,
         ground_height_fn=ground_height_fn,
+        ground_grad_fn=ground_grad_fn,
         dt=h, beta=sp_.contact_beta,
         max_depenetration_velocity=sp_.max_depenetration_velocity,
     )
@@ -205,7 +206,8 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
 
 def build_step_fn(model: RobotModel, sim_params: SimParams,
                   ground_height_fn=None, attractors=None,
-                  fused: bool | None = None) -> Callable:
+                  fused: bool | None = None,
+                  need_torque: bool = True) -> Callable:
     """Returns step(params, q, qd, ctrl, body_wrench_w) -> (q', qd', net),
     batched. net (B, nb, 3) is the per-body net ground-contact force from the
     last substep — the `acquire_net_contact_force_tensor` equivalent
@@ -228,7 +230,24 @@ def build_step_fn(model: RobotModel, sim_params: SimParams,
     Force with `fused=True/False` or env THORMANG_TPU_FUSED=0/1.
     """
     import os
+    from thormang_isaacgym_tpu.engine.terrain import Heightfield
     from thormang_isaacgym_tpu.ops import fused as fused_mod
+
+    # normalize the ground spec: None (plane z=0) / constant height (float,
+    # e.g. the factory tabletop) / Heightfield (terrain) / arbitrary
+    # callable (XLA path only)
+    ground = ground_height_fn
+    if isinstance(ground, Heightfield):
+        xla_ground_fn = ground.height_fn()
+        xla_grad_fn = ground.height_and_grad_fn()
+    elif isinstance(ground, (int, float)):
+        gz = float(ground)
+        xla_ground_fn = (lambda x, y: jnp.full_like(x, gz)) if gz != 0.0 \
+            else None
+        xla_grad_fn = None
+    else:
+        xla_ground_fn = ground
+        xla_grad_fn = None
 
     if fused is None:
         envv = os.environ.get("THORMANG_TPU_FUSED")
@@ -236,17 +255,21 @@ def build_step_fn(model: RobotModel, sim_params: SimParams,
             fused = envv not in ("0", "false", "False")
         else:
             fused = jax.default_backend() == "tpu"
-    fused = fused and fused_mod.fused_eligible(model, ground_height_fn,
-                                               attractors)
+    fused = fused and fused_mod.fused_eligible(model, ground, attractors)
     if fused:
+        fground = ground if isinstance(ground, Heightfield) \
+            else float(ground or 0.0)
         return fused_mod.build_fused_step_fn(model, sim_params,
-                                             attractors=attractors)
+                                             attractors=attractors,
+                                             ground=fground,
+                                             need_torque=need_torque)
 
     def single_env_step(params, q, qd, ctrl, body_wrench_w):
         def body(carry, _):
             q, qd = carry
             q, qd, net = _substep(model, sim_params, params, q, qd, ctrl,
-                                  body_wrench_w, ground_height_fn, attractors)
+                                  body_wrench_w, xla_ground_fn, attractors,
+                                  ground_grad_fn=xla_grad_fn)
             return (q, qd), net
 
         (q, qd), nets = jax.lax.scan(body, (q, qd), None, length=sim_params.substeps)

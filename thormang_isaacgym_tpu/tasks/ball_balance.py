@@ -119,6 +119,7 @@ class BBotTaskState:
 
 class BallBalance(Task):
     num_obs = 24
+    uses_net_torque = True   # 6-DOF force sensors read net_torque
     num_actions = 3
     max_episode_length = 500
     action_speed_scale = 20.0   # cfg/task/BallBalance.yaml actionSpeedScale

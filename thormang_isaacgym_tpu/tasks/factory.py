@@ -291,7 +291,9 @@ class FactoryBase(Task):
         self.keypoint_offsets = jnp.asarray(ko)
 
     def ground_height_fn(self):
-        return lambda x, y: jnp.full_like(x, TABLE_Z)
+        # constant tabletop height: returned as a float so the fused
+        # kernel's plane path takes it (ops/sim.build_step_fn ground spec)
+        return TABLE_Z
 
     # ---- fingertip midpoint frame (factory_base acquire/refresh) ----
     def _eef(self, q, qd):

@@ -140,8 +140,9 @@ class FrankaCubeStack(Task):
 
     def ground_height_fn(self):
         """The table: a flat working plane at the tabletop height
-        (create_box table actor, :207-213 — env geometry, not terrain)."""
-        return lambda x, y: jnp.full_like(x, TABLE_Z)
+        (create_box table actor, :207-213 — env geometry, not terrain).
+        A float constant so the fused kernel's plane path takes it."""
+        return TABLE_Z
 
     # ------------------------------------------------------------------
     def default_task_state(self, key):

@@ -55,6 +55,7 @@ class HumanoidTaskState:
 
 
 class Humanoid(Task):
+    uses_net_torque = True   # 6-DOF force sensors read net_torque
     max_episode_length = 1000
     control_freq_inv = 1
 

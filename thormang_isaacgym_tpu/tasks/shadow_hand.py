@@ -91,6 +91,7 @@ def _scale(x, lo, hi):
 class ShadowHand(Task):
     """Cube reorientation (`isaacgym_task_map["ShadowHand"]`)."""
 
+    uses_net_torque = True   # 6-DOF force sensors read net_torque
     num_actions = 20
     max_episode_length = 600
     clip_obs = 5.0

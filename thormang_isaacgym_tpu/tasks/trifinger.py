@@ -83,6 +83,7 @@ class TrifingerTaskState:
 
 
 class Trifinger(Task):
+    uses_net_torque = True   # 6-DOF force sensors read net_torque
     max_episode_length = 750
     clip_obs = 5.0
     task_difficulty = 4
