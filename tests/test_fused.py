@@ -378,3 +378,86 @@ def test_fused_pair_capsule_scene_matches_xla():
         np.testing.assert_allclose(np.asarray(neta), np.asarray(netb),
                                    atol=1.0, rtol=1e-2, err_msg=f"step {i}")
     assert contact_seen
+
+
+def _two_actor_scene(urdf_a, urdf_b, pose_a, pose_b, fix_b=True):
+    from thormang_isaacgym_tpu.models import load_urdf
+    from thormang_isaacgym_tpu.models.scene import compose
+    return compose([(load_urdf(urdf_a), pose_a, "A/"),
+                    (load_urdf(urdf_b, fix_base_link=fix_b), pose_b, "B/")])
+
+
+_CUBE = """
+<robot name="cube"><link name="k"><inertial><mass value="0.5"/>
+  <inertia ixx="0.0008" iyy="0.0008" izz="0.0008" ixy="0" ixz="0" iyz="0"/>
+  </inertial>
+  <collision><geometry><box size="0.12 0.12 0.12"/></geometry></collision>
+</link></robot>"""
+_CAP = """
+<robot name="cap"><link name="c"><inertial><mass value="0.4"/>
+  <inertia ixx="0.001" iyy="0.001" izz="0.0004" ixy="0" ixz="0" iyz="0"/>
+  </inertial>
+  <collision><geometry><capsule radius="0.04" length="0.2"/></geometry>
+  </collision>
+</link></robot>"""
+
+
+def _pair_kind_check(scene, expect_kind, q0=None, steps=20, tol=5e-3):
+    """CI-sized fused-vs-XLA narrowphase cross-check: exactly one floating
+    actor pair, spawned overlapping at altitude (no ground contact) so the
+    compile stays within the 2-vCPU CI budget. Shrunk from
+    test_fused_pair_scene_matches_xla per the r4 review: ShadowHand's fused
+    scene is 3 boxbox + 15 capbox pairs, so those two kinds must be
+    numerically verified in DEFAULT CI, not only in the slow lane."""
+    from thormang_isaacgym_tpu.ops import collide as collide_mod
+
+    kinds = [k for (_, _, k) in collide_mod._pairs(scene)]
+    assert kinds == [expect_kind], kinds
+    sp = SimParams(dt=1 / 60, substeps=1, contact_stiffness=2e4,
+                   contact_damping=500.0)
+    xla_step = jax.jit(build_step_fn(scene, sp, fused=False))
+    fused_step = jax.jit(build_fused_step_fn(scene, sp, interpret=True))
+    B = 4
+    params = scene.default_params().batch(B)
+    if q0 is None:
+        # floating root(s) spawn at their compose() pose
+        base = np.asarray(scene.root_base_pose, np.float32).reshape(-1, 7)
+        flo = [i for i, f in enumerate(scene.roots_floating) if f]
+        q0 = base[flo].reshape(-1)
+    q = jnp.tile(jnp.asarray(np.asarray(q0, np.float32))[None], (B, 1))
+    assert q.shape[1] == scene.nq
+    qd = 0.05 * jax.random.normal(jax.random.key(5), (B, scene.nv))
+    ctrl = zero_controls(scene, B)
+    wrench = jnp.zeros((B, scene.nb, 6))
+    qa, qda = q, qd
+    qb, qdb = q, qd
+    contact_seen = False
+    for i in range(steps):
+        qa, qda, neta = xla_step(params, qa, qda, ctrl, wrench)
+        qb, qdb, netb = fused_step(params, qb, qdb, ctrl, wrench)
+        contact_seen = contact_seen or float(np.abs(np.asarray(neta)).max()) > 0.5
+        np.testing.assert_allclose(np.asarray(qa), np.asarray(qb),
+                                   atol=tol, rtol=tol, err_msg=f"step {i}")
+        np.testing.assert_allclose(np.asarray(neta), np.asarray(netb),
+                                   atol=1.0, rtol=1e-2, err_msg=f"step {i}")
+    assert contact_seen
+
+
+def test_fused_boxbox_pair_matches_xla():
+    """One box-box SAT pair (17 candidates): a cube dropped 2 mm onto a
+    FIXED cube — persistent resting contact at ~weight-scale forces."""
+    scene = _two_actor_scene(
+        _CUBE, _CUBE,
+        (0.02, 0.01, 5.122, 0.9990482, 0.0, 0.0, 0.0436194),  # 5 deg yaw
+        (0.0, 0.0, 5.0, 1, 0, 0, 0))
+    _pair_kind_check(scene, "boxbox")
+
+
+def test_fused_capbox_pair_matches_xla():
+    """One capsule-box pair (4 candidates): a horizontal capsule dropped
+    2 mm onto a FIXED cube."""
+    scene = _two_actor_scene(
+        _CAP, _CUBE,
+        (0.0, 0.0, 5.102, 0.7071068, 0, 0.7071068, 0),  # axis along x
+        (0.0, 0.0, 5.0, 1, 0, 0, 0))
+    _pair_kind_check(scene, "capbox")

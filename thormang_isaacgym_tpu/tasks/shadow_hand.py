@@ -69,6 +69,7 @@ class HandTaskState:
     actions: jnp.ndarray         # (B, 20)
     rb_force: jnp.ndarray        # (B, 3) decaying random object force
     force_prob: jnp.ndarray      # (B,)
+    goal_cap: jnp.ndarray        # (B,) replicated curriculum goal-distance cap
 
 
 def _rand_rot(k0, k1):
@@ -78,6 +79,29 @@ def _rand_rot(k0, k1):
     qx = Q.from_axis_angle(jnp.array([1.0, 0, 0]), r0 * jnp.pi)
     qy = Q.from_axis_angle(jnp.array([0.0, 1.0, 0]), r1 * jnp.pi)
     return Q.mul(qx, qy)
+
+
+def _curriculum_goal(key, obj_rot, cap, min_angle):
+    """Goal-distance-curriculum sampler (single env).
+
+    Samples a goal orientation whose rotation distance from the CURRENT
+    object orientation is uniform in [min_angle, cap] about a uniformly
+    random axis, so rot_dist(obj, goal) == the sampled angle exactly
+    (quat_diff = obj * conj(goal) = the sampled delta). Once the cap
+    anneals to pi the task switches to the reference's own sampler
+    (_rand_rot, reset_target_pose :587-610) — full uniform re-orientation,
+    i.e. exactly the reference task. Rationale: the r4 isolating
+    experiment (TRAIN_ShadowHand_r04.json) showed PPO learns goal-directed
+    reorientation when goals are 0.3-0.8 rad away but never escapes the
+    static-hold basin under full-distance goals from scratch."""
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    full = _rand_rot(k0, k1)
+    axis = jax.random.normal(k2, (3,))
+    axis = axis / (jnp.linalg.norm(axis) + 1e-9)
+    ang = jax.random.uniform(k3, (), minval=min_angle, maxval=cap)
+    delta = Q.from_axis_angle(axis, ang)
+    near = Q.mul(Q.conj(delta), obj_rot)
+    return jnp.where(cap >= jnp.pi - 0.05, full, near)
 
 
 def _unscale(x, lo, hi):
@@ -115,12 +139,24 @@ class ShadowHand(Task):
     use_relative_control = False
     dof_speed_scale = 20.0
     act_moving_average = 1.0
+    # goal-distance curriculum (no reference analog; see _curriculum_goal).
+    # Competence-coupled ratchet: the goal-distance cap tracks the running
+    # max of start + gain * consecutive_successes_EMA, clipped at pi where
+    # sampling becomes the reference's full-random reset_target_pose
+    # exactly. Self-paced — widening the cap lowers the success rate,
+    # which freezes (never shrinks) the cap until competence recovers.
+    # Disable (reference behavior from step 0) with goal_curriculum=False.
+    curriculum_start = 0.8       # rad — the r4 experiment's proven regime
+    curriculum_min_angle = 0.2   # min sampled distance (> success_tolerance)
+    curriculum_gain = 1.5        # rad of extra cap per unit of cons EMA
 
     def __init__(self, num_envs: int = 16384, seed: int = 42,
                  obs_type: str = "full_state", asymmetric_obs: bool = False,
                  randomize: bool = False, force_scale: float = 0.0,
+                 goal_curriculum: bool = True,
                  hand_model=None, object_urdf: str | None = None, **_):
         super().__init__(num_envs, seed)
+        self.goal_curriculum = goal_curriculum
         assert obs_type in NUM_OBS, obs_type
         self.obs_type = obs_type
         self.num_obs = NUM_OBS[obs_type]
@@ -193,6 +229,8 @@ class ShadowHand(Task):
             actions=jnp.zeros((B, self.num_actions)),
             rb_force=jnp.zeros((B, 3)),
             force_prob=jnp.full((B,), 0.01),
+            goal_cap=jnp.full((B,), self.curriculum_start
+                              if self.goal_curriculum else float(jnp.pi)),
         )
 
     # ------------------------------------------------------------------
@@ -202,7 +240,10 @@ class ShadowHand(Task):
         pos = jnp.asarray(OBJECT_START) + self.reset_position_noise \
             * jax.random.uniform(ks[0], (3,), minval=-1.0, maxval=1.0)
         obj_rot = _rand_rot(ks[1], ks[2])
-        goal_rot = _rand_rot(ks[3], ks[4])
+        # curriculum: the fresh goal stays within goal_cap of the spawn
+        # orientation (== reference _rand_rot once the cap reaches pi)
+        goal_rot = _curriculum_goal(ks[3], obj_rot, task.goal_cap,
+                                    self.curriculum_min_angle)
 
         # hand DOFs: 0 + noise*rand_delta toward limits (:648-652)
         rand = jax.random.uniform(ks[5], (self.nj,), minval=-1.0, maxval=1.0)
@@ -230,6 +271,7 @@ class ShadowHand(Task):
             actions=jnp.zeros(self.num_actions),
             rb_force=jnp.zeros(3),
             force_prob=force_prob,
+            goal_cap=task.goal_cap,
         )
         return q, qd, params, task
 
@@ -407,13 +449,12 @@ class ShadowHand(Task):
                                reward + 0.5 * self.fall_penalty, reward)
         done = done.astype(jnp.float32)
 
-        # goal resample on success WITHOUT env reset (reset_target_pose)
+        # goal resample on success WITHOUT env reset (reset_target_pose);
+        # curriculum-capped distance from the just-reached orientation
         key = jax.random.fold_in(state.key, 303)
-        ks = jax.random.split(key, 2 * B).reshape(B, 2)
-
-        def resample(k2):
-            return _rand_rot(k2[0], k2[1])
-        new_goals = jax.vmap(resample)(ks)
+        ks = jax.random.split(key, B)
+        new_goals = jax.vmap(_curriculum_goal, in_axes=(0, 0, 0, None))(
+            ks, obj_rot, t.goal_cap, self.curriculum_min_angle)
         goal_rot = jnp.where(goal_reached[:, None], new_goals, t.goal_rot)
 
         # consecutive-success EMA across this step's resets (:788-797)
@@ -427,12 +468,22 @@ class ShadowHand(Task):
             + (1.0 - self.av_factor) * t.cons_successes,
             t.cons_successes)
 
+        # competence-coupled curriculum ratchet (see class attrs): cap
+        # follows running-max(start + gain * cons) toward pi, where the
+        # sampler becomes the reference's full reorientation task
+        goal_cap = t.goal_cap
+        if self.goal_curriculum:
+            target = self.curriculum_start + self.curriculum_gain * cons
+            goal_cap = jnp.minimum(jnp.maximum(goal_cap, target), jnp.pi)
+
         task = dataclasses.replace(
-            t, goal_rot=goal_rot, successes=successes, cons_successes=cons)
+            t, goal_rot=goal_rot, successes=successes, cons_successes=cons,
+            goal_cap=goal_cap)
 
         metrics = dict(state.metrics)
         metrics["consecutive_successes"] = cons
         metrics["successes"] = successes
         metrics["rot_dist"] = rot_dist
         metrics["goal_dist"] = goal_dist
+        metrics["goal_cap"] = goal_cap
         return obs, reward, done, task, metrics
