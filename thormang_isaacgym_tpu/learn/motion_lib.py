@@ -282,11 +282,33 @@ class MotionLib:
 
 
 def _load_any(path: str) -> dict:
-    """One clip from either our .npz layout or a reference poselib
-    SkeletonMotion .npy (learn/poselib.py ingestion)."""
+    """One clip from our .npz layout, a reference poselib SkeletonMotion
+    .npy, or a raw binary .fbx mocap file (learn/fbx.py; non-AMP skeletons
+    like the CMU clips retarget through the reference's own config)."""
     if path.endswith(".npy"):
         from thormang_isaacgym_tpu.learn import poselib
         return poselib.load_motion_file(path)
+    if path.endswith(".fbx"):
+        import json as _json
+        import os as _os
+        from thormang_isaacgym_tpu.learn import poselib
+        cfg = None
+        if "cmu" in _os.path.basename(path):
+            base = _os.path.dirname(_os.path.abspath(path))
+            cfg_path = _os.path.join(base, "configs",
+                                     "retarget_cmu_to_amp.json")
+            if _os.path.exists(cfg_path):
+                cfg = _json.load(open(cfg_path))
+                # config paths are relative to the poselib dir; clip-
+                # specific trims don't transfer between subjects, but the
+                # first frames are the exporter's bind pose, not motion
+                # (07_01 frame 0 jumps 1.3 rad to frame 1) — drop them
+                cfg = dict(cfg,
+                           source_tpose=_os.path.join(base, "cmu_tpose.npy"),
+                           target_tpose=_os.path.join(
+                               base, "amp_humanoid_tpose.npy"),
+                           trim_frame_beg=2, trim_frame_end=-1)
+        return poselib.load_motion_file(path, retarget_cfg=cfg)
     return load_clip(path)
 
 
@@ -298,7 +320,7 @@ def default_motion_lib(motion_file: str | None = None) -> MotionLib:
         if os.path.isdir(motion_file):
             clips = [_load_any(os.path.join(motion_file, f))
                      for f in sorted(os.listdir(motion_file))
-                     if f.endswith((".npz", ".npy"))]
+                     if f.endswith((".npz", ".npy", ".fbx"))]
         else:
             clips = [_load_any(motion_file)]
         return MotionLib(clips)

@@ -344,12 +344,17 @@ def amp_tpose_path() -> str:
 
 
 def load_motion_file(path: str, retarget_cfg: str | dict | None = None):
-    """Load a SkeletonMotion npy -> MotionLib clip.
+    """Load a SkeletonMotion npy OR binary .fbx mocap file -> MotionLib clip.
 
     If the motion's skeleton is not the AMP humanoid, `retarget_cfg` (a
     retarget config json path or dict, reference schema) retargets it
-    first."""
-    m = SkeletonMotion.from_file(path)
+    first. .fbx goes through learn/fbx.py (the reference's CMU clips,
+    `data/07_01_cmu.fbx` etc., import directly)."""
+    if path.endswith(".fbx"):
+        from thormang_isaacgym_tpu.learn.fbx import load_fbx_motion
+        m = load_fbx_motion(path)
+    else:
+        m = SkeletonMotion.from_file(path)
     amp_nodes = {"pelvis", "torso", "head", "right_upper_arm",
                  "left_upper_arm", "right_thigh", "left_thigh"}
     if not amp_nodes <= set(m.skeleton.node_names):
