@@ -1,4 +1,4 @@
-"""Record PARITY_r04: reduced-scale learning-curve regressions at reference
+"""Record PARITY_r05: reduced-scale learning-curve regressions at reference
 hyperparameters (BASELINE.json "PPO return parity vs the reference under
 fixed seed"; VERDICT r3 item 5 widened coverage + stricter floors).
 
@@ -28,15 +28,24 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 DRAWDOWN_FRAC = 0.4
 
 SPECS = [
-    # (task, train_yaml_name, num_envs, epochs, last-point reward floor)
-    # floors sit ~25% under healthy reduced-scale runs (reward_mean is the
-    # per-step shaped reward, not the episode return)
-    ("Cartpole", "CartpolePPO", 64, 60, 0.75),
-    ("Ant", "AntPPO", 64, 60, 0.55),
-    ("Gogoro", "GogoroPPO", 64, 50, 0.4),
-    ("Humanoid", "HumanoidPPO", 64, 60, 0.5),
-    ("AnymalTerrain", "AnymalTerrainPPO", 64, 50, -0.05),
-    ("BallBalance", "BallBalancePPO", 64, 60, 0.1),
+    # (task, train_yaml_name, num_envs, epochs, floor, metric)
+    # floors sit ~25% under healthy reduced-scale runs. metric defaults to
+    # reward_mean (the per-step shaped reward); tasks whose total reward
+    # nets ~0 at reduced scale gate on a SINGLE reward term instead so a
+    # flat curve cannot pass (r4 review weak #4: the -0.05 floor +
+    # equality carve-out made AnymalTerrain parity vacuous).
+    ("Cartpole", "CartpolePPO", 64, 60, 0.75, None),
+    ("Ant", "AntPPO", 64, 60, 0.55, None),
+    ("Gogoro", "GogoroPPO", 64, 50, 0.4, None),
+    ("Humanoid", "HumanoidPPO", 64, 60, 0.5, None),
+    # velocity-tracking term only: requires the policy to actually follow
+    # commands (flat-at-zero curves fail the floor AND the strict rise)
+    ("AnymalTerrain", "AnymalTerrainPPO", 64, 60, 0.004, "env/rew_lin_vel_xy"),
+    ("BallBalance", "BallBalancePPO", 64, 60, 0.1, None),
+    # r5 breadth: the remaining big task families with no curves (r4 #8)
+    ("Trifinger", "TrifingerPPO", 32, 40, None, "env/pose_reward"),
+    ("FrankaCabinet", "FrankaCabinetPPO", 64, 60, None, None),
+    ("AllegroHand", "AllegroHandPPO", 32, 40, None, None),
 ]
 
 
@@ -53,11 +62,12 @@ def main(quick=False, only=None):
 
     out = {"schema": "parity_curve_v2", "recorded": time.strftime("%F"),
            "drawdown_frac": DRAWDOWN_FRAC, "tasks": {}}
-    for task, yaml_name, n, epochs, floor in SPECS:
+    for task, yaml_name, n, epochs, floor, metric in SPECS:
         if quick and task != "Cartpole":
             continue
         if only and task not in only:
             continue
+        metric = metric or "reward_mean"
         t0 = time.time()
         tcfg = load_yaml(os.path.join(CFG_ROOT, "train",
                                       f"{yaml_name}.yaml"))
@@ -78,24 +88,30 @@ def main(quick=False, only=None):
         env = make(task, num_envs=n, seed=7, stagger_episodes=True)
         algo = PPO(env, cfg)
         ts, env_state, hist = algo.train(epochs, seed=7, log_every=5)
-        curve = [(h["epoch"], round(h["reward_mean"], 4)) for h in hist]
+        curve = [(h["epoch"], round(h[metric], 4)) for h in hist]
         diag = [(h["epoch"], round(h.get("lr", 0.0), 6),
                  round(h.get("kl", 0.0), 5)) for h in hist]
         last = curve[-1][1]
+        first = curve[0][1]
         peak = max(r for _, r in curve)
+        if floor is None:
+            floor = float("nan")   # calibration run: record only
         # drawdown gate only bites when the curve actually rose above floor
         dd_ok = (peak <= floor) or (last >= DRAWDOWN_FRAC * peak)
-        passed = bool(last >= floor and dd_ok)
+        # strict rise: a flat curve is evidence of nothing (r4 weak #4)
+        passed = bool(last >= floor and dd_ok and last > first)
         out["tasks"][task] = {
             "train_cfg": yaml_name, "num_envs": n, "epochs": epochs,
-            "curve": curve, "lr_kl": diag,
-            "last_reward_mean": round(last, 4), "peak": round(peak, 4),
+            "metric": metric, "curve": curve, "lr_kl": diag,
+            "last_reward_mean": round(last, 4), "first": round(first, 4),
+            "peak": round(peak, 4),
             "floor": floor, "passed": passed,
             "wall_s": round(time.time() - t0, 1),
         }
-        print(task, "last", last, "peak", peak, "floor", floor,
-              "PASS" if passed else "FAIL", flush=True)
-    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_r04.json")
+        print(task, "metric", metric, "last", last, "first", first,
+              "peak", peak, "floor", floor,
+            "PASS" if passed else "FAIL", flush=True)
+    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_r05.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", os.path.abspath(path))

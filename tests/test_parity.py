@@ -26,20 +26,21 @@ def test_gogoro_golden():
 
 
 def test_parity_artifact():
-    """PARITY_r04.json (scripts/record_parity.py): reduced-scale learning
-    curves at reference hyperparameters must pass the strict r4 metric
-    (last-point floor AND max-to-last drawdown cap). Re-recording is done
-    by the script; CI guards the committed artifact."""
+    """PARITY_r05.json (scripts/record_parity.py): reduced-scale learning
+    curves at reference hyperparameters must pass the strict r5 metric:
+    last-point floor AND max-to-last drawdown cap AND a STRICT rise
+    (last > first — the r4 equality carve-out that let a flat
+    AnymalTerrain curve pass is gone; that task now gates on its
+    velocity-tracking reward term instead of the ~0-net total)."""
     import json
-    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_r04.json")
+    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_r05.json")
     if not os.path.exists(path):
-        pytest.skip("PARITY_r04.json not recorded yet")
+        pytest.skip("PARITY_r05.json not recorded yet")
     with open(path) as f:
         art = json.load(f)
     assert art["schema"] == "parity_curve_v2"
-    assert len(art["tasks"]) >= 6, "r4 coverage bar: >= 6 tasks"
+    assert len(art["tasks"]) >= 9, "r5 coverage bar: >= 9 tasks"
     for name, t in art["tasks"].items():
         assert t["passed"], (name, t["last_reward_mean"], t["floor"])
-        # curves do not degrade start-to-end (AnymalTerrain's 13-term
-        # reward nets ~0 at 64-env scale, so equality is allowed)
-        assert t["last_reward_mean"] >= t["curve"][0][1], (name, t["curve"])
+        assert t["last_reward_mean"] > t["curve"][0][1], (name, t["curve"])
+        assert t["floor"] == t["floor"], (name, "uncalibrated floor (NaN)")

@@ -376,3 +376,61 @@ def load_motion_file(path: str, retarget_cfg: str | dict | None = None):
     elif any(n in m.skeleton.node_names for n in ("right_hand",)):
         m = project_joints(m)
     return to_amp_clip(m)
+
+
+# ---------------------------------------------------------------------------
+# visualization (poselib/visualization equivalent: matplotlib skeleton plots)
+# ---------------------------------------------------------------------------
+
+
+def plot_skeleton_motion(motion: SkeletonMotion, path: str,
+                         stride: int = 4, elev: float = 20.0,
+                         azim: float = 45.0):
+    """Animated 3-D skeleton plot -> GIF (or a single-frame PNG for a
+    SkeletonState). The matplotlib counterpart of the reference's
+    `poselib/visualization/` plotter (plot_skeleton_motion_interactive):
+    bones as segments between each joint and its parent, world-frame,
+    equal axes. Headless-safe (Agg)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    _, g_pos = motion.fk()
+    g_pos = g_pos[::max(1, int(stride))]
+    par = motion.skeleton.parent_indices
+    lo, hi = g_pos.min(axis=(0, 1)), g_pos.max(axis=(0, 1))
+    c = 0.5 * (lo + hi)
+    r = 0.6 * float((hi - lo).max() + 1e-6)
+
+    fig = plt.figure(figsize=(5, 5))
+    ax = fig.add_subplot(projection="3d")
+    ax.view_init(elev=elev, azim=azim)
+    lines = [ax.plot([], [], [], "o-", lw=2, ms=2,
+                     color="tab:blue")[0]
+             for j in range(len(par)) if par[j] >= 0]
+    ax.set_xlim(c[0] - r, c[0] + r)
+    ax.set_ylim(c[1] - r, c[1] + r)
+    ax.set_zlim(c[2] - r, c[2] + r)
+
+    def draw(f):
+        li = 0
+        for j in range(len(par)):
+            p = int(par[j])
+            if p < 0:
+                continue
+            seg = g_pos[f][[p, j]]
+            lines[li].set_data(seg[:, 0], seg[:, 1])
+            lines[li].set_3d_properties(seg[:, 2])
+            li += 1
+        return lines
+
+    if len(g_pos) == 1 or path.endswith(".png"):
+        draw(0)
+        fig.savefig(path, dpi=90)
+    else:
+        anim = FuncAnimation(fig, draw, frames=len(g_pos), blit=False)
+        anim.save(path, writer=PillowWriter(
+            fps=max(1, int(motion.fps / max(1, int(stride))))))
+    plt.close(fig)
+    return path

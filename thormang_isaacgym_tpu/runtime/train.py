@@ -74,6 +74,19 @@ def main(argv=None):
     with open(os.path.join(run_dir, "config.yaml"), "w") as f:
         yaml.safe_dump(cfg, f)
 
+    # wandb experiment tracking at rank 0 (reference train.py:84-97);
+    # real wandb if installed, offline-compatible writer otherwise
+    wandb_run = None
+    if cfg.get("wandb_activate") and not dist_info.get("process_id"):
+        from thormang_isaacgym_tpu.runtime.wandb_lite import init as _wb_init
+        wandb_run = _wb_init(
+            project=cfg.get("wandb_project", "thormang_isaacgym_tpu"),
+            group=cfg.get("wandb_group", ""),
+            entity=cfg.get("wandb_entity"),
+            name=f"{cfg.get('wandb_name', exp_name)}"
+                 f"_{time.strftime('%d-%H-%M-%S')}",
+            config=cfg, dir=run_dir)
+
     if n_dev > 1 and int(num_envs) % n_dev == 0:
         from thormang_isaacgym_tpu.parallel.mesh import ENV_AXIS, shard_ppo
         ppo = ppo_cls(env, ppo_cfg, axis_name=ENV_AXIS)
@@ -143,12 +156,16 @@ def main(argv=None):
                 logf.flush()
                 tb.add_scalars(m, epoch)
                 tb.flush()
+                if wandb_run is not None:
+                    wandb_run.log(m, step=epoch)
                 if m["reward_mean"] > best_reward:
                     best_reward = m["reward_mean"]
                     save_train_state(os.path.join(run_dir, "nn", "best.ckpt"), ts)
             if epoch % 50 == 0:
                 save_train_state(os.path.join(run_dir, "nn", "last.ckpt"), ts)
     save_train_state(os.path.join(run_dir, "nn", "last.ckpt"), ts)
+    if wandb_run is not None:
+        wandb_run.finish()
     print(f"done: best reward_mean {best_reward:.3f}; checkpoints in {run_dir}/nn")
     return ts
 

@@ -164,6 +164,18 @@ class HumanoidAMP(Task):
         self._noncontact_mask = jnp.asarray(mask)
         self._height_mask = jnp.asarray(height_mask)
 
+        # imitation-quality reference bank: <= 128 demo poses subsampled
+        # across all clips, for the per-step pose_error metric (min over
+        # the bank of mean abs joint-angle deviation). "AMP works" should
+        # mean "the poses match the demos", not "the discriminator
+        # separates" (r4 review weak #7).
+        nf = np.asarray(self.motion_lib.num_frames)
+        rows = np.concatenate([
+            np.asarray(self.motion_lib.dof_pos[i, :int(nf[i])])
+            for i in range(len(nf))])
+        stride = max(1, len(rows) // 128)
+        self._demo_dof_bank = jnp.asarray(rows[::stride][:128])  # (Fb, D)
+
     # ------------------------------------------------------------------
     def _key_body_pos(self, frames):
         """(K, 3) world key-body positions from FK frames (single env)."""
@@ -281,6 +293,12 @@ class HumanoidAMP(Task):
         reward = jnp.ones(B)               # compute_humanoid_reward:531-534
         metrics = dict(state.metrics)
         metrics["terminate"] = has_fallen.astype(jnp.float32)
+        # imitation quality: nearest-demo-pose joint-angle error (rad)
+        dof_amp = state.q[:, 7:][:, self.perm]
+        d = dof_amp[:, None, :] - self._demo_dof_bank[None]
+        d = (d + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+        metrics["pose_error"] = jnp.min(jnp.mean(jnp.abs(d), axis=-1),
+                                        axis=-1)
         return obs, reward, has_fallen.astype(jnp.float32), \
             AMPTaskState(amp), metrics
 

@@ -140,15 +140,21 @@ class ShadowHand(Task):
     dof_speed_scale = 20.0
     act_moving_average = 1.0
     # goal-distance curriculum (no reference analog; see _curriculum_goal).
-    # Competence-coupled ratchet: the goal-distance cap tracks the running
-    # max of start + gain * consecutive_successes_EMA, clipped at pi where
-    # sampling becomes the reference's full-random reset_target_pose
-    # exactly. Self-paced — widening the cap lowers the success rate,
-    # which freezes (never shrinks) the cap until competence recovers.
+    # Rate-limited success-gated anneal: while the consecutive-success EMA
+    # at the CURRENT cap exceeds curriculum_promote, the cap grows by
+    # curriculum_rate per step toward pi, where sampling becomes the
+    # reference's full-random reset_target_pose exactly. The gate closes
+    # whenever competence at the wider cap dips below the threshold, so
+    # the cap tracks demonstrated skill. (An earlier competence-
+    # proportional ratchet cap = max(cap, start + 1.5*cons) overshot:
+    # one transient EMA spike measured at an easy cap jumped the cap from
+    # 0.8 to 2.05 rad, skipping the difficulty range where learning was
+    # progressing — runs/sh_cur_r5b.)
     # Disable (reference behavior from step 0) with goal_curriculum=False.
     curriculum_start = 0.8       # rad — the r4 experiment's proven regime
     curriculum_min_angle = 0.2   # min sampled distance (> success_tolerance)
-    curriculum_gain = 1.5        # rad of extra cap per unit of cons EMA
+    curriculum_promote = 0.6     # cons EMA gate
+    curriculum_rate = 2.5e-4     # rad per env step while gated
 
     def __init__(self, num_envs: int = 16384, seed: int = 42,
                  obs_type: str = "full_state", asymmetric_obs: bool = False,
@@ -468,13 +474,12 @@ class ShadowHand(Task):
             + (1.0 - self.av_factor) * t.cons_successes,
             t.cons_successes)
 
-        # competence-coupled curriculum ratchet (see class attrs): cap
-        # follows running-max(start + gain * cons) toward pi, where the
-        # sampler becomes the reference's full reorientation task
+        # rate-limited success-gated curriculum anneal (see class attrs)
         goal_cap = t.goal_cap
         if self.goal_curriculum:
-            target = self.curriculum_start + self.curriculum_gain * cons
-            goal_cap = jnp.minimum(jnp.maximum(goal_cap, target), jnp.pi)
+            gate = (cons >= self.curriculum_promote).astype(jnp.float32)
+            goal_cap = jnp.minimum(goal_cap + gate * self.curriculum_rate,
+                                   jnp.pi)
 
         task = dataclasses.replace(
             t, goal_rot=goal_rot, successes=successes, cons_successes=cons,
