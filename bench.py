@@ -83,7 +83,8 @@ def main():
     # secondary benches (stderr): humanoid-scale + manipulation-scale +
     # the contact-rich factory scene (fused pair-collision kernel)
     for name, n in (("Humanoid", 4096), ("ShadowHand", 1024),
-                    ("FactoryTaskNutBoltPick", 1024)):
+                    ("FactoryTaskNutBoltPick", 1024),
+                    ("AnymalTerrain", 4096)):
         if os.environ.get("THORMANG_BENCH_SECONDARY", "1") != "1":
             break
         try:

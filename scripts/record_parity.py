@@ -34,35 +34,53 @@ SPECS = [
     # nets ~0 at reduced scale gate on a SINGLE reward term instead so a
     # flat curve cannot pass (r4 review weak #4: the -0.05 floor +
     # equality carve-out made AnymalTerrain parity vacuous).
-    ("Cartpole", "CartpolePPO", 64, 60, 0.75, None),
-    ("Ant", "AntPPO", 64, 60, 0.55, None),
-    ("Gogoro", "GogoroPPO", 64, 50, 0.4, None),
-    ("Humanoid", "HumanoidPPO", 64, 60, 0.5, None),
+    # direction +1 = metric must RISE above floor; -1 = must FALL below it
+    ("Cartpole", "CartpolePPO", 64, 60, 0.75, None, 1),
+    ("Ant", "AntPPO", 64, 60, 0.55, None, 1),
+    ("Gogoro", "GogoroPPO", 64, 50, 0.4, None, 1),
+    ("Humanoid", "HumanoidPPO", 64, 60, 0.5, None, 1),
     # velocity-tracking term only: requires the policy to actually follow
     # commands (flat-at-zero curves fail the floor AND the strict rise)
-    ("AnymalTerrain", "AnymalTerrainPPO", 64, 60, 0.004, "env/rew_lin_vel_xy"),
-    ("BallBalance", "BallBalancePPO", 64, 60, 0.1, None),
-    # r5 breadth: the remaining big task families with no curves (r4 #8)
-    ("Trifinger", "TrifingerPPO", 32, 40, None, "env/pose_reward"),
-    ("FrankaCabinet", "FrankaCabinetPPO", 64, 60, None, None),
-    ("AllegroHand", "AllegroHandPPO", 32, 40, None, None),
+    ("AnymalTerrain", "AnymalTerrainPPO", 128, 150, 0.0045, "env/rew_lin_vel_xy", 1),
+    ("BallBalance", "BallBalancePPO", 64, 60, 0.1, None, 1),
+    # r5 breadth: the remaining big task families with no curves (r4 #8).
+    # Manipulation tasks gate on distances FALLING — the learning signal
+    # reachable at reduced scale (object-moving success is not).
+    ("Trifinger", "TrifingerPPO", 64, 80, 0.17, "env/finger_obj_dist", -1),
+    ("FrankaCabinet", "FrankaCabinetPPO", 64, 120, 0.42, "env/grasp_dist", -1),
+    ("AllegroHand", "AllegroHandPPO", 64, 80, 0.45, "env/rot_dist", -1),
+]
+
+# --tpu lane: rows whose learning signal needs more scale than the 2-vCPU
+# box can simulate (the manipulation families) run on the real chip at
+# training-like env counts; results merge into the same artifact.
+TPU_SPECS = [
+    ("Trifinger", "TrifingerPPO", 512, 300, 0.17, "env/finger_obj_dist", -1),
+    ("FrankaCabinet", "FrankaCabinetPPO", 512, 300, 0.42, "env/grasp_dist", -1),
+    ("AllegroHand", "AllegroHandPPO", 1024, 400, 0.45, "env/rot_dist", -1),
 ]
 
 
-def main(quick=False, only=None):
+def main(quick=False, only=None, tpu=False):
     import jax
-    # the environment preloads jax with the TPU plugin (sitecustomize);
-    # parity curves are a CPU-reproducible artifact — force the backend
-    # before any computation
-    jax.config.update("jax_platforms", "cpu")
+    # the environment preloads jax with the TPU plugin (sitecustomize).
+    # Default lane: CPU (reproducible anywhere). --tpu lane: the real chip
+    # for rows needing training-like scale (TPU_SPECS).
+    if not tpu:
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/thormang_xla_cache")
 
     from thormang_isaacgym_tpu.learn.ppo import PPO, PPOConfig
     from thormang_isaacgym_tpu.tasks import make
     from thormang_isaacgym_tpu.utils.config import CFG_ROOT, load_yaml
 
+    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_r05.json")
     out = {"schema": "parity_curve_v2", "recorded": time.strftime("%F"),
            "drawdown_frac": DRAWDOWN_FRAC, "tasks": {}}
-    for task, yaml_name, n, epochs, floor, metric in SPECS:
+    for task, yaml_name, n, epochs, floor, metric, sgn in \
+            (TPU_SPECS if tpu else SPECS):
         if quick and task != "Cartpole":
             continue
         if only and task not in only:
@@ -93,16 +111,23 @@ def main(quick=False, only=None):
                  round(h.get("kl", 0.0), 5)) for h in hist]
         last = curve[-1][1]
         first = curve[0][1]
-        peak = max(r for _, r in curve)
         if floor is None:
             floor = float("nan")   # calibration run: record only
-        # drawdown gate only bites when the curve actually rose above floor
-        dd_ok = (peak <= floor) or (last >= DRAWDOWN_FRAC * peak)
-        # strict rise: a flat curve is evidence of nothing (r4 weak #4)
-        passed = bool(last >= floor and dd_ok and last > first)
+        # all gates evaluated in sign-adjusted space so falling-metric
+        # rows (sgn=-1) use the same logic
+        s_last, s_first, s_floor = sgn * last, sgn * first, sgn * floor
+        s_peak = max(sgn * r for _, r in curve)
+        peak = sgn * s_peak
+        # drawdown gate only bites when the curve actually beat the floor
+        dd_ok = (s_peak <= s_floor) or (s_last >= DRAWDOWN_FRAC * s_peak) \
+            or s_peak <= 0
+        # strict move: a flat curve is evidence of nothing (r4 weak #4)
+        passed = bool(s_last >= s_floor and dd_ok and s_last > s_first)
         out["tasks"][task] = {
             "train_cfg": yaml_name, "num_envs": n, "epochs": epochs,
-            "metric": metric, "curve": curve, "lr_kl": diag,
+            "platform": "tpu" if tpu else "cpu",
+            "metric": metric, "direction": sgn,
+            "curve": curve, "lr_kl": diag,
             "last_reward_mean": round(last, 4), "first": round(first, 4),
             "peak": round(peak, 4),
             "floor": floor, "passed": passed,
@@ -111,7 +136,13 @@ def main(quick=False, only=None):
         print(task, "metric", metric, "last", last, "first", first,
               "peak", peak, "floor", floor,
             "PASS" if passed else "FAIL", flush=True)
-    path = os.path.join(os.path.dirname(__file__), "..", "PARITY_r05.json")
+    # merge at WRITE time (re-runs and the two platform lanes combine
+    # into one artifact without clobbering each other)
+    if os.path.exists(path):
+        prev = json.load(open(path))
+        prev["tasks"].update(out["tasks"])
+        prev["recorded"] = out["recorded"]
+        out = prev
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", os.path.abspath(path))
@@ -121,4 +152,5 @@ if __name__ == "__main__":
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
-    main(quick="--quick" in sys.argv, only=only)
+    main(quick="--quick" in sys.argv, only=only,
+         tpu="--tpu" in sys.argv)

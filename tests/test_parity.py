@@ -42,5 +42,7 @@ def test_parity_artifact():
     assert len(art["tasks"]) >= 9, "r5 coverage bar: >= 9 tasks"
     for name, t in art["tasks"].items():
         assert t["passed"], (name, t["last_reward_mean"], t["floor"])
-        assert t["last_reward_mean"] > t["curve"][0][1], (name, t["curve"])
+        sgn = t.get("direction", 1)
+        assert sgn * t["last_reward_mean"] > sgn * t["curve"][0][1], \
+            (name, t["curve"])
         assert t["floor"] == t["floor"], (name, "uncalibrated floor (NaN)")

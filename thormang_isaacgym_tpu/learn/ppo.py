@@ -633,6 +633,13 @@ class PPO:
             ts, env_state, metrics = self._train_iter(ts, env_state, sub)
             if epoch % log_every == 0 or epoch == num_epochs - 1:
                 m = {k: float(v) for k, v in metrics.items()}
+                # per-task episode metrics (extras["episode"] pattern),
+                # env-mean — same view the train CLI logs
+                try:
+                    for mk, mv in (env_state.metrics or {}).items():
+                        m[f"env/{mk}"] = float(jnp.mean(mv))
+                except Exception:
+                    pass
                 m["epoch"] = epoch
                 history.append(m)
                 if callback:

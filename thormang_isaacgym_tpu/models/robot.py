@@ -110,6 +110,13 @@ class Geom:
     pos: tuple             # offset in body frame
     quat: tuple            # orientation in body frame (w,x,y,z); axis = local z for capsule/cylinder... cylinder axis = local y (wheel spin axis)
     name: str = ""
+    # ground-plane contact opt-out (trace-time): a geom that must ignore
+    # the scene's ground surface while keeping actor-pair collision. The
+    # IsaacGym analog is a plane whose segmentation excludes an actor —
+    # used when the "ground" models a TABLETOP that only part of the scene
+    # rests on (factory: the franka stands on the floor BEHIND the table
+    # box; its links must not collide with the table's infinite plane)
+    ground: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -41,6 +41,8 @@ def _static_candidates(model: RobotModel):
     """
     geom_idx, offsets, radii, is_rim, rim_halfw = [], [], [], [], []
     for gi, g in enumerate(model.geoms):
+        if not getattr(g, "ground", True):
+            continue          # per-geom ground opt-out (models/robot.Geom)
         if g.gtype == GEOM_SPHERE:
             geom_idx.append(gi); offsets.append((0, 0, 0)); radii.append(g.size[0]); is_rim.append(0); rim_halfw.append(0.0)
         elif g.gtype == GEOM_CAPSULE:

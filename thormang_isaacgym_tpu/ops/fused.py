@@ -443,6 +443,8 @@ def _contact_candidates(model: RobotModel):
     """Static ground-contact candidate list (mirrors ops.contact)."""
     cands = []
     for gi, g in enumerate(model.geoms):
+        if not getattr(g, "ground", True):
+            continue
         base = dict(geom=gi, body=g.body,
                     gpos=tuple(float(x) for x in g.pos),
                     gquat=tuple(float(x) for x in g.quat))

@@ -48,7 +48,16 @@ from thormang_isaacgym_tpu.ops.kinematics import forward_kinematics
 from thormang_isaacgym_tpu.ops.sim import Controls, SimParams
 
 TABLE_Z = 0.4                  # FactoryBase.yaml table_height
-FRANKA_POS = (-0.45, 0.0, 0.5)
+# franka mounting = the reference's (factory_env_nut_bolt.py:145-149):
+# base on the FLOOR at x=franka_depth (FactoryBase.yaml:40), yaw 180 so it
+# faces the work area at the env origin. With the reference initial arm
+# dofs this puts the fingertip midpoint ~0.2 m above the tabletop
+# (fingertip_midpoint_pos_initial, FactoryTaskNutBoltPick.yaml:26). The
+# tabletop is modeled as a constant-height ground surface; franka links
+# (except the fingers) opt out of it (Geom.ground=False) exactly because
+# the real table is a box the arm reaches OVER, not an infinite plane.
+FRANKA_POS = (0.5, 0.0, 0.0)
+FRANKA_QUAT = (0.0, 0.0, 0.0, 1.0)     # w,x,y,z: 180 deg about z
 
 # nut-bolt dims (asset_info_nut_bolt M16-class; the YAML with exact dims is
 # absent from the snapshot — public M16: 24 mm across flats, 13 mm height,
@@ -270,6 +279,17 @@ class FactoryBase(Task):
         self.dt = self.sim_params.dt
 
     def _finish_scene(self, scene):
+        # franka links opt out of the tabletop ground plane (the real
+        # table is a box the floor-mounted arm reaches OVER; see
+        # FRANKA_POS); only the fingers may press the tabletop
+        fingers = {scene.body_id("franka/panda_leftfinger"),
+                   scene.body_id("franka/panda_rightfinger")}
+        geoms = tuple(
+            dataclasses.replace(g, ground=False)
+            if (scene.body_names[g.body].startswith("franka/")
+                and g.body not in fingers) else g
+            for g in scene.geoms)
+        scene = dataclasses.replace(scene, geoms=geoms)
         self.model = scene
         self.fr_ids = np.array(franka_dof_ids(scene, "franka/"))
         d = scene._defaults
@@ -388,7 +408,7 @@ class FactoryTaskNutBoltPick(FactoryBase):
         nut = load_urdf(_nut_urdf())
         bolt = load_urdf(_bolt_urdf(), fix_base_link=True)
         scene = compose([
-            (franka, FRANKA_POS + (1.0, 0.0, 0.0, 0.0), "franka/"),
+            (franka, FRANKA_POS + FRANKA_QUAT, "franka/"),
             (nut, (0.0, -0.1, TABLE_Z + NUT_H, 1.0, 0.0, 0.0, 0.0), "nut/"),
             (bolt, (0.15, 0.1, TABLE_Z, 1.0, 0.0, 0.0, 0.0), "bolt/"),
         ], name="factory_nut_bolt_pick")
@@ -417,13 +437,19 @@ class FactoryTaskNutBoltPick(FactoryBase):
         gp, gq, v, w = jax.vmap(self._eef)(state.q, state.qd)
         nut_pos = state.q[:, self.qN:self.qN + 3]
         nut_quat = state.q[:, self.qN + 3:self.qN + 7]
-        # grasp frame: top center of the nut
+        # grasp frame: top center of the nut, z FLIPPED to face the
+        # downward gripper (nut_grasp_quat_local = 180 deg about x,
+        # factory_task_nut_bolt_pick.py:89-90) — without the flip the
+        # keypoint lines are anti-parallel and the keypoint distance has
+        # a large orientation floor the policy cannot remove
+        x180 = jnp.asarray([0.0, 1.0, 0.0, 0.0])
         grasp_pos = nut_pos + jax.vmap(
             lambda qq: Q.rotate(qq, jnp.asarray([0.0, 0, NUT_H])))(nut_quat)
-        obs = jnp.concatenate([gp, gq, v, w, grasp_pos, nut_quat], axis=-1)
+        grasp_quat = jax.vmap(lambda qq: Q.mul(qq, x180))(nut_quat)
+        obs = jnp.concatenate([gp, gq, v, w, grasp_pos, grasp_quat], axis=-1)
 
         kp_g = jax.vmap(self._keypoints)(gp, gq)
-        kp_n = jax.vmap(self._keypoints)(grasp_pos, nut_quat)
+        kp_n = jax.vmap(self._keypoints)(grasp_pos, grasp_quat)
         kd = jnp.linalg.norm(kp_g - kp_n, axis=-1).sum(-1)
         a_pen = jnp.linalg.norm(state.task.actions, axis=-1)
         reward = -kd * self.keypoint_reward_scale \
@@ -448,7 +474,7 @@ class FactoryTaskNutBoltPlace(FactoryBase):
         bolt = load_urdf(_bolt_urdf(), fix_base_link=True)
         self.bolt_pos = np.array([0.1, 0.0, TABLE_Z], np.float32)
         scene = compose([
-            (franka, FRANKA_POS + (1.0, 0.0, 0.0, 0.0), "franka/"),
+            (franka, FRANKA_POS + FRANKA_QUAT, "franka/"),
             (nut, (0.0, 0.0, TABLE_Z + 0.3, 1.0, 0.0, 0.0, 0.0), "nut/"),
             (bolt, tuple(self.bolt_pos) + (1.0, 0.0, 0.0, 0.0), "bolt/"),
         ], name="factory_nut_bolt_place")
@@ -516,7 +542,7 @@ class FactoryTaskNutBoltScrew(FactoryBase):
         boltnut = load_urdf(_bolt_nut_urdf(), fix_base_link=True)
         self.bolt_pos = np.array([0.1, 0.0, TABLE_Z], np.float32)
         scene = compose([
-            (franka, FRANKA_POS + (1.0, 0.0, 0.0, 0.0), "franka/"),
+            (franka, FRANKA_POS + FRANKA_QUAT, "franka/"),
             (boltnut, tuple(self.bolt_pos) + (1.0, 0.0, 0.0, 0.0), "bn/"),
         ], name="factory_nut_bolt_screw")
         # the thread: L = travel + pitch/(2 pi) * spin pinned to 0
@@ -598,7 +624,7 @@ class FactoryTaskInsertion(FactoryBase):
             fix_base_link=True)
         self.socket_pos = np.array([0.1, 0.0, TABLE_Z + SOCKET_H], np.float32)
         scene = compose([
-            (franka, FRANKA_POS + (1.0, 0.0, 0.0, 0.0), "franka/"),
+            (franka, FRANKA_POS + FRANKA_QUAT, "franka/"),
             (plug, (0.0, self.plug_bias_y, TABLE_Z, 1.0, 0.0, 0.0, 0.0),
              "plug/"),
             (socket, tuple(self.socket_pos) + (1.0, 0.0, 0.0, 0.0),
@@ -675,7 +701,7 @@ class FactoryTaskGears(FactoryBase):
         base = load_urdf(_gear_base_urdf(), fix_base_link=True)
         self.base_pos = np.array([0.1, 0.0, TABLE_Z], np.float32)
         scene = compose([
-            (franka, FRANKA_POS + (1.0, 0.0, 0.0, 0.0), "franka/"),
+            (franka, FRANKA_POS + FRANKA_QUAT, "franka/"),
             (gear, (0.0, self.gears_bias_y, TABLE_Z + GEAR_H,
                     1.0, 0.0, 0.0, 0.0), "gear/"),
             (base, tuple(self.base_pos) + (1.0, 0.0, 0.0, 0.0), "base/"),

@@ -313,6 +313,10 @@ class Trifinger(Task):
         metrics = dict(state.metrics)
         metrics["success"] = success.astype(jnp.float32)
         metrics["pose_reward"] = pose_rew
+        # mean fingertip-to-object distance: the early learning signal the
+        # reach shaping drives (falls as fingers find the cube) — the
+        # reduced-scale parity gate (scripts/record_parity.py)
+        metrics["finger_obj_dist"] = curr_n.mean(axis=-1)
         return obs, reward, done, task, metrics
 
     def compute_states(self, state, task_state):
