@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(ckpt, num_envs=128, reach_steps=96, close_steps=40, lift_steps=60,
+def main(ckpt, num_envs=128, reach_steps=96, close_steps=60, lift_steps=120,
          seed=3):
     import thormang_isaacgym_tpu as tgx
     from thormang_isaacgym_tpu.learn.ppo import PPO, PPOConfig
@@ -50,7 +50,29 @@ def main(ckpt, num_envs=128, reach_steps=96, close_steps=40, lift_steps=60,
         return env.step_fn(state, a)
 
     zero = jnp.zeros((num_envs, env.num_actions))
-    lift_a = zero.at[:, 2].set(0.6)          # +z position action
+    lift_a = zero.at[:, 2].set(0.25)         # gentle +z position action
+
+    def _yaw(q):
+        # yaw of the frame's x-axis about world z
+        x = jax.vmap(lambda qq: __import__(
+            "thormang_isaacgym_tpu.core.quat", fromlist=["rotate"]).rotate(
+                qq, jnp.asarray([1.0, 0.0, 0.0])))(q)
+        return jnp.arctan2(x[:, 1], x[:, 0])
+
+    @jax.jit
+    def align_step(state):
+        """Yaw-align the gripper to the nut's nearest FLAT before closing:
+        the nut is a square annulus, so a 45-deg-off grip pinches corners
+        (half-diagonal 17 mm vs 12 mm flats) and slips during the lift.
+        The reference's hex-mesh nut has no such worst case; this
+        alignment is the scripted-grasp analog of squaring the wrench."""
+        gq = jax.vmap(env.task._eef)(state.q, state.qd)[1]
+        dyaw = _yaw(state.q[:, 3:7]) - _yaw(gq)
+        # wrap into the square's symmetry group: (-45, 45] deg
+        dyaw = jnp.mod(dyaw + jnp.pi / 4, jnp.pi / 2) - jnp.pi / 4
+        a = jnp.zeros((num_envs, env.num_actions))
+        a = a.at[:, 5].set(jnp.clip(dyaw / 0.1, -1.0, 1.0))
+        return env.step_fn(state, a)
 
     @jax.jit
     def close_step(state):
@@ -60,13 +82,23 @@ def main(ckpt, num_envs=128, reach_steps=96, close_steps=40, lift_steps=60,
     def lift_step(state):
         return env_closed.step_fn(state, lift_a)
 
+    import dataclasses as _dc
+
+    def _hold(s):
+        """Zero the episode clock so the engine's timeout auto-reset
+        cannot fire inside the scripted phases."""
+        return _dc.replace(s, progress=jnp.zeros_like(s.progress))
+
     for _ in range(reach_steps):
         state = reach_step(ts, state)
     kd_reach = float(jnp.mean(state.metrics["keypoint_dist"]))
+    state = _hold(state)
+    for _ in range(30):
+        state = _hold(align_step(state))
     for _ in range(close_steps):
-        state = close_step(state)
+        state = _hold(close_step(state))
     for _ in range(lift_steps):
-        state = lift_step(state)
+        state = _hold(lift_step(state))
 
     nut_z = np.asarray(state.q[:, env.task.qN + 2])
     lifted = nut_z - TABLE_Z > 3.0 * 2.0 * NUT_H

@@ -411,6 +411,16 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
         # The first piece (current-velocity evaluation) is applied as an
         # explicit external force here; the delta-velocity piece is solved
         # exactly inside the ABA via the h*D u u^T added inertia below.
+        m_a = params.body_mass[ba]
+        m_b = params.body_mass[bb]
+        m_red = m_a * m_b / (m_a + m_b)
+        # the SPRING term is explicit, so it carries the explicit-Euler
+        # stability bound kn <= 0.25 m/h^2 for the pair's reduced mass —
+        # same clamp as the ground kernel. Without it a 30 g nut pinched
+        # between kn=1e5 gripper pads (250x the bound) chatters at ~100 N
+        # and vibratory friction drops the grip (the factory lift bug).
+        # The velocity terms (D_imp) stay implicit — stable unclamped.
+        kn_eff = jnp.minimum(kn_cfg, 0.25 * m_red / (h * h))
         D_imp = h * kn_cfg + kd_cfg
         # PhysX max_depenetration_velocity: bound the position-correction
         # (spring) term so the steady-state separation velocity under the
@@ -418,13 +428,10 @@ def pairwise_contact_forces(model: RobotModel, params: ModelParams,
         # embedded contact (e.g. an 87 Nm arm pressing a cube into a pad)
         # exits at <= max_dep instead of storing unbounded spring energy
         # and launching the object on release.
-        spring = jnp.minimum(kn_cfg * depth,
+        spring = jnp.minimum(kn_eff * depth,
                              D_imp * max_depenetration_velocity)
         fn = jnp.maximum(spring - D_imp * vn, 0.0) * active
         # extra impulse guard while separating
-        m_a = params.body_mass[ba]
-        m_b = params.body_mass[bb]
-        m_red = m_a * m_b / (m_a + m_b)
         cap = jnp.where(
             vn > 0.0,
             m_red * jnp.maximum(max_depenetration_velocity - vn, 0.0) / h

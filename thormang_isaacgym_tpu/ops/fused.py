@@ -1166,11 +1166,14 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                                _cross(om_w[bb], _vsub(cp, pos_w[bb])))
                     vrel = _vsub(vb, va)
                     vn = _dot3(vrel, n)
-                    spring = _smin(_mul(kn_cfg, depth), D_imp * max_dep)
-                    fn = _mul(_smax(_sub(spring, _mul(D_imp, vn)), 0.0),
-                              activef)
                     m_a, m_b = mass[ba], mass[bb]
                     m_red = m_a * m_b / (m_a + m_b)
+                    # explicit-spring stability clamp for the pair's
+                    # reduced mass (mirrors ops/collide.py kn_eff)
+                    kn_eff = jnp.minimum(kn_cfg, (0.25 / (h * h)) * m_red)
+                    spring = _smin(_mul(kn_eff, depth), D_imp * max_dep)
+                    fn = _mul(_smax(_sub(spring, _mul(D_imp, vn)), 0.0),
+                              activef)
                     cap = jnp.where(
                         vn > 0.0,
                         m_red * _smax(_sub(max_dep, vn), 0.0) / h
