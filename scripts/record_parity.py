@@ -41,7 +41,7 @@ SPECS = [
     ("Humanoid", "HumanoidPPO", 64, 60, 0.5, None, 1),
     # velocity-tracking term only: requires the policy to actually follow
     # commands (flat-at-zero curves fail the floor AND the strict rise)
-    ("AnymalTerrain", "AnymalTerrainPPO", 128, 150, 0.0045, "env/rew_lin_vel_xy", 1),
+    ("AnymalTerrain", "AnymalTerrainPPO", 128, 150, 0.004, "env/rew_lin_vel_xy", 1),
     ("BallBalance", "BallBalancePPO", 64, 60, 0.1, None, 1),
     # r5 breadth: the remaining big task families with no curves (r4 #8).
     # Manipulation tasks gate on distances FALLING — the learning signal
@@ -55,9 +55,15 @@ SPECS = [
 # box can simulate (the manipulation families) run on the real chip at
 # training-like env counts; results merge into the same artifact.
 TPU_SPECS = [
-    ("Trifinger", "TrifingerPPO", 512, 300, 0.17, "env/finger_obj_dist", -1),
+    # the reference trains trifinger for 2.6B env-steps; the reach signal
+    # needs tens of millions before the fingers find the cube
+    ("Trifinger", "TrifingerPPO", 1024, 2000, 0.15, "env/finger_obj_dist", -1),
     ("FrankaCabinet", "FrankaCabinetPPO", 512, 300, 0.42, "env/grasp_dist", -1),
-    ("AllegroHand", "AllegroHandPPO", 1024, 400, 0.45, "env/rot_dist", -1),
+    # in-hand reorientation: gate on the consecutive-success EMA under the
+    # goal-distance curriculum (the rot_dist mean is pinned at the goal
+    # sampler's mean until successes appear)
+    ("AllegroHand", "AllegroHandPPO", 4096, 2000, 0.02,
+     "env/consecutive_successes", 1),
 ]
 
 

@@ -30,6 +30,12 @@ ALLEGRO_NUM_OBS = {"full_no_vel": 50, "full": 72, "full_state": 88}
 class AllegroHand(ShadowHand):
     num_actions = 16
     max_episode_length = 600
+    # spawn over the ALLEGRO palm: fingers extend toward -y from the base
+    # at (0, 0, 0.5), palm plate top ~z 0.55 (reference allegro_hand.py
+    # :286-292 spawns at hand + (0, -0.2, +0.06) for ITS flipped hand
+    # orientation; ours is palm-up identity, palm center y ~ -0.08)
+    object_start = (0.0, -0.08, 0.60)
+    goal_pos = (0.0, -0.08, 0.54)
 
     def __init__(self, num_envs: int = 16384, seed: int = 42,
                  obs_type: str = "full", asymmetric_obs: bool = False,
@@ -65,7 +71,7 @@ class AllegroHand(ShadowHand):
             self.vel_obs_scale * jqd,
             self.ft_obs_scale * self._dof_force_estimate(state, task),
             obj_pos, obj_rot, obj_lin, self.vel_obs_scale * obj_ang,
-            jnp.asarray(GOAL_POS) * jnp.ones((B, 3)), task.goal_rot,
+            jnp.asarray(self.goal_pos) * jnp.ones((B, 3)), task.goal_rot,
             jax.vmap(Q.mul)(obj_rot, jax.vmap(Q.conj)(task.goal_rot)),
             task.actions,
         ], axis=-1)
@@ -77,7 +83,7 @@ class AllegroHand(ShadowHand):
         nf6 = 6 * self.model.n_floating
         jq = state.q[:, nf7:]
         jqd = state.qd[:, nf6:]
-        goal_pos = jnp.asarray(GOAL_POS)
+        goal_pos = jnp.asarray(self.goal_pos)
         if self.obs_type == "full_no_vel":   # 50 (:451-463)
             return jnp.concatenate([
                 _unscale(jq, self.dof_lower, self.dof_upper),

@@ -55,6 +55,8 @@ HAND_POS = (0.0, 0.0, 0.5)
 # launches observed at z=0.60). 0.625 clears every orientation by 4 mm.
 OBJECT_START = (0.0, -0.39, 0.625)
 GOAL_POS = (0.0, -0.39, 0.56)
+# (ShadowHand values; hand-model subclasses override the class attrs
+# object_start / goal_pos — the spawn must sit over THAT hand's palm)
 
 NUM_OBS = {"openai": 42, "full_no_vel": 77, "full": 157, "full_state": 211}
 
@@ -139,6 +141,8 @@ class ShadowHand(Task):
     use_relative_control = False
     dof_speed_scale = 20.0
     act_moving_average = 1.0
+    object_start = OBJECT_START   # cube spawn, world (over the palm)
+    goal_pos = GOAL_POS           # virtual goal-pose anchor
     # goal-distance curriculum (no reference analog; see _curriculum_goal).
     # Rate-limited success-gated anneal: while the consecutive-success EMA
     # at the CURRENT cap exceeds curriculum_promote, the cap grows by
@@ -176,7 +180,7 @@ class ShadowHand(Task):
         block = load_urdf(object_urdf or make_block_urdf())
         scene = compose([
             (hand, HAND_POS + (1.0, 0.0, 0.0, 0.0), ""),
-            (block, OBJECT_START + (1.0, 0.0, 0.0, 0.0), "obj/"),
+            (block, tuple(self.object_start) + (1.0, 0.0, 0.0, 0.0), "obj/"),
         ], name="shadow_hand_scene")
         self.model = scene
         self.nj = scene.nj
@@ -243,7 +247,7 @@ class ShadowHand(Task):
     def reset_fn(self, key, params, task):
         ks = jax.random.split(key, 9)
         # object pose: init + noise, random rotation (:618-637)
-        pos = jnp.asarray(OBJECT_START) + self.reset_position_noise \
+        pos = jnp.asarray(self.object_start) + self.reset_position_noise \
             * jax.random.uniform(ks[0], (3,), minval=-1.0, maxval=1.0)
         obj_rot = _rand_rot(ks[1], ks[2])
         # curriculum: the fresh goal stays within goal_cap of the spawn
@@ -381,7 +385,7 @@ class ShadowHand(Task):
             self.vel_obs_scale * jqd,
             self.ft_obs_scale * self._dof_force_estimate(state, task),
             obj_pos, obj_rot, obj_lin, self.vel_obs_scale * obj_ang,
-            jnp.asarray(GOAL_POS) * jnp.ones((B, 3)), task.goal_rot,
+            jnp.asarray(self.goal_pos) * jnp.ones((B, 3)), task.goal_rot,
             jax.vmap(Q.mul)(obj_rot, jax.vmap(Q.conj)(task.goal_rot)),
             ft_state, self.ft_obs_scale * ft_ft,
             task.actions,
@@ -397,7 +401,7 @@ class ShadowHand(Task):
         nf6 = 6 * self.model.n_floating
         jq = state.q[:, nf7:]
         jqd = state.qd[:, nf6:]
-        goal_pos = jnp.asarray(GOAL_POS)
+        goal_pos = jnp.asarray(self.goal_pos)
         if self.obs_type == "openai":
             fpos, _, _, _ = self._fingertip_state(state)
             return jnp.concatenate([
@@ -427,7 +431,7 @@ class ShadowHand(Task):
         t = prev_task
         B = state.q.shape[0]
         obj_pos, obj_rot, obj_lin, obj_ang = self._object_state(state)
-        goal_pos = jnp.asarray(GOAL_POS)
+        goal_pos = jnp.asarray(self.goal_pos)
         quat_diff = jax.vmap(Q.mul)(obj_rot, jax.vmap(Q.conj)(t.goal_rot))
 
         obs = self._observations(state, t, obj_pos, obj_rot, obj_lin,
