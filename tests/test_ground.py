@@ -175,3 +175,26 @@ def test_need_torque_false_zero_torque_rows():
                                np.asarray(net3)[..., 0:3], atol=1e-5)
     assert np.all(np.asarray(net3)[..., 3:6] == 0.0)
     assert float(np.abs(np.asarray(net6)[..., 3:6]).max()) > 0.0
+
+
+def test_need_torque_subset_bodies():
+    """need_torque=<body ids>: torque rows match the all-body kernel on the
+    declared bodies and read zero elsewhere; forces unchanged."""
+    model, sp, params, q, qd, ctrl, wrench = _mk(z0=0.12)
+    f_all = jax.jit(build_fused_step_fn(model, sp, interpret=True,
+                                        need_torque=True))
+    _, _, net_all = f_all(params, q, qd, ctrl, wrench)
+    # pick the body with the largest torque as the declared sensor body
+    mags = np.abs(np.asarray(net_all)[..., 3:6]).sum(axis=(0, 2))
+    b_sense = int(mags.argmax())
+    f_sub = jax.jit(build_fused_step_fn(model, sp, interpret=True,
+                                        need_torque=(b_sense,)))
+    q_s, _, net_sub = f_sub(params, q, qd, ctrl, wrench)
+    np.testing.assert_allclose(np.asarray(net_all)[..., 0:3],
+                               np.asarray(net_sub)[..., 0:3], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(net_sub)[:, b_sense, 3:6],
+                               np.asarray(net_all)[:, b_sense, 3:6],
+                               atol=1e-5)
+    others = [b for b in range(model.nb) if b != b_sense]
+    if others:
+        assert np.all(np.asarray(net_sub)[:, others, 3:6] == 0.0)

@@ -26,6 +26,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from thormang_isaacgym_tpu.models.robot import ModelParams, RobotModel
 from thormang_isaacgym_tpu.ops.sim import Controls, SimParams, build_step_fn
@@ -101,6 +102,11 @@ class Task:
     # when False the fused kernel skips it (tests/test_fused.py enforces
     # the contract by source scan)
     uses_net_torque: bool = False
+    # the body ids those sensors actually cover (set alongside
+    # uses_net_torque once body ids are known): torque is accumulated ONLY
+    # for these bodies, and net_torque reads as zero elsewhere. None =
+    # all-body accumulation (legacy contract).
+    net_torque_bodies: Optional[tuple] = None
 
     def __init__(self, num_envs: int, seed: int = 42):
         self.num_envs = num_envs
@@ -186,11 +192,26 @@ class VecEnv:
         self.task = task
         self.stagger_episodes = stagger_episodes
         self.model = task.model
+        # net-torque spec: tasks that read EnvState.net_torque declare the
+        # body ids their sensors cover (net_torque_bodies); the fused kernel
+        # accumulates torque ONLY for those bodies. Tasks that set only
+        # uses_net_torque=True get all-body accumulation (old contract).
+        tq_bodies = getattr(task, "net_torque_bodies", None)
+        if tq_bodies is not None:
+            need_torque = tuple(int(b) for b in tq_bodies)
+            mask = np.zeros((task.model.nb,), np.float32)
+            mask[list(need_torque)] = 1.0
+            # the XLA fallback computes all-body torque; mask it so both
+            # backends present identical net_torque (zeros off-sensor)
+            self._tq_mask = jnp.asarray(mask)[None, :, None]
+        else:
+            need_torque = getattr(task, "uses_net_torque", False)
+            self._tq_mask = None
         self.physics_step = build_step_fn(
             task.model, task.sim_params,
             ground_height_fn=ground_height_fn,
             attractors=getattr(task, "attractors", None),
-            need_torque=getattr(task, "uses_net_torque", False))
+            need_torque=need_torque)
         self.num_envs = task.num_envs
         self.num_obs = task.num_obs
         self.num_actions = task.num_actions
@@ -362,9 +383,12 @@ class VecEnv:
         qd = jnp.where(blown[:, None], jnp.zeros_like(qd), qd)
         net = jnp.where(blown[:, None, None], jnp.zeros_like(net), net)
         progress = state.progress + 1
+        net_tq = net[..., 3:6]
+        if self._tq_mask is not None:
+            net_tq = net_tq * self._tq_mask
         state = dataclasses.replace(state, q=q, qd=qd, progress=progress,
                                     net_contact=net[..., 0:3],
-                                    net_torque=net[..., 3:6])
+                                    net_torque=net_tq)
 
         # ---- 4. post-physics: obs / reward / done ----
         obs, reward, done_task, task_state, metrics = task.post_physics(state, task_state)

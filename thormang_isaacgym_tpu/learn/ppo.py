@@ -490,6 +490,12 @@ class PPO:
         cfg = self.cfg
         if cfg.lr_schedule != "adaptive":
             return lr
+        # a non-finite KL estimate means the update blew past the trust
+        # region (inf/NaN ratio), not that KL is acceptable: treat it as
+        # too-high so the controller CUTS lr instead of skipping both
+        # branches (observed in the r5 ShadowHand run: one NaN minibatch
+        # let lr pump 1.9e-4 -> 1e-2 and collapse the policy)
+        kl = jnp.where(jnp.isfinite(kl), kl, 10.0 * cfg.kl_threshold)
         lr = jnp.where(kl > 2.0 * cfg.kl_threshold, lr / 1.5, lr)
         lr = jnp.where(kl < 0.5 * cfg.kl_threshold, lr * 1.5, lr)
         return jnp.clip(lr, 1e-6, 1e-2)

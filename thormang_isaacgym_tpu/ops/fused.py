@@ -638,58 +638,126 @@ def _s_pair_candidates(model, pairs, gpose, mat):
 
 
 def _s_box_box(ia, ib, ba, bb, pa, qa, half_a, pb, qb, half_b, mat):
-    """Sheet version of collide._box_box_candidates + edge candidate."""
+    """Sheet version of collide._box_box_candidates + edge candidate.
+
+    Gottschalk OBB-SAT closed forms: with R[i][j] = A_i . B_j and the
+    center offset d expressed on each box's axes (dA, dB), every face /
+    edge overlap, corner-inside test, corner depth, and edge closest-point
+    parameter is plain scalar arithmetic over {R, |R|, dA, dB} - the only
+    per-candidate VECTOR math left is the contact point itself. Same 17
+    candidates and contact semantics as the direct formulation it replaces
+    (cross-checked against ops/collide.py by tests/test_fused.py), at a
+    fraction of the sheet ops - box-box pairs dominate the factory
+    kernel (20 pairs, factory_task_nut_bolt_pick scenes)."""
     Ma = _qtomat(qa)
     Mb = _qtomat(qb)
     # world directions of each box's local axes = matrix columns
     A_axes = [(Ma[j], Ma[3 + j], Ma[6 + j]) for j in range(3)]
     B_axes = [(Mb[j], Mb[3 + j], Mb[6 + j]) for j in range(3)]
     d = _vsub(pb, pa)
+    ha, hb = half_a, half_b
+    R = [[_dot3(A_axes[i], B_axes[j]) for j in range(3)] for i in range(3)]
+    aR = [[_sabs(R[i][j]) for j in range(3)] for i in range(3)]
+    dA = [_dot3(d, A_axes[i]) for i in range(3)]
+    dB = [_dot3(d, B_axes[j]) for j in range(3)]
+    # scaled axis vectors and scalar tables shared by corners and edges
+    hA_vec = [tuple(_mul(ha[i], A_axes[i][c]) for c in range(3))
+              for i in range(3)]
+    hB_vec = [tuple(_mul(hb[j], B_axes[j][c]) for c in range(3))
+              for j in range(3)]
+    haR = [[_mul(ha[i], R[i][j]) for j in range(3)] for i in range(3)]
+    hbR = [[_mul(hb[j], R[i][j]) for j in range(3)] for i in range(3)]
 
-    def proj(L, axes, half):
-        s = 0.0
-        for j in range(3):
-            s = _add(s, _mul(_sabs(_dot3(L, axes[j])), half[j]))
-        return s
+    # 6 face overlaps (closed form); min-overlap axis shared by all
+    # vertex contacts. proj(A_i onto A) == ha[i] exactly (orthonormal).
+    projB_on_A = [ _add(_add(_mul(aR[i][0], hb[0]), _mul(aR[i][1], hb[1])),
+                        _mul(aR[i][2], hb[2])) for i in range(3)]
+    projA_on_B = [ _add(_add(_mul(aR[0][j], ha[0]), _mul(aR[1][j], ha[1])),
+                        _mul(aR[2][j], ha[2])) for j in range(3)]
+    overlap_f = (
+        [_sub(_add(ha[i], projB_on_A[i]), _sabs(dA[i])) for i in range(3)]
+        + [_sub(_add(projA_on_B[j], hb[j]), _sabs(dB[j])) for j in range(3)])
 
-    # 6 face axes; min-overlap face axis shared by all vertex contacts
+    # per-axis selection tables: normal vector, signed distance dn =
+    # n_raw . d, face extents along n, and the axis coordinates
+    # nA[i] = A_i . n_raw, nB[j] = B_j . n_raw (all closed-form)
     axes6 = A_axes + B_axes
-    overlap_f = [_sub(_add(proj(L, A_axes, half_a), proj(L, B_axes, half_b)),
-                      _sabs(_dot3(L, d))) for L in axes6]
+    dn6 = dA + dB
+    hA6 = [ha[0], ha[1], ha[2]] + projA_on_B
+    hB6 = projB_on_A + [hb[0], hb[1], hb[2]]
+    nA6 = [[1.0 if i == k else 0.0 for i in range(3)] for k in range(3)] + \
+          [[R[i][j] for i in range(3)] for j in range(3)]
+    nB6 = [[R[k][j] for j in range(3)] for k in range(3)] + \
+          [[1.0 if j == k else 0.0 for j in range(3)] for k in range(3)]
+
     best_f = mat(overlap_f[0])
     n_raw = tuple(mat(x) for x in axes6[0])
+    dn = mat(dn6[0])
+    hA_n = mat(hA6[0])
+    hB_n = mat(hB6[0])
+    nA = [mat(x) for x in nA6[0]]
+    nB = [mat(x) for x in nB6[0]]
     for k in range(1, 6):
         better = overlap_f[k] < best_f
         best_f = jnp.where(better, overlap_f[k], best_f)
         n_raw = tuple(jnp.where(better, mat(axes6[k][c]), n_raw[c])
                       for c in range(3))
-    n = _vscale(n_raw, _ssign(_add(_dot3(n_raw, d), 1e-12)))
-    hB_n = proj(n, B_axes, half_b)
-    hA_n = proj(n, A_axes, half_a)
+        dn = jnp.where(better, mat(dn6[k]), dn)
+        hA_n = jnp.where(better, mat(hA6[k]), hA_n)
+        hB_n = jnp.where(better, mat(hB6[k]), hB_n)
+        nA = [jnp.where(better, mat(nA6[k][i]), nA[i]) for i in range(3)]
+        nB = [jnp.where(better, mat(nB6[k][j]), nB[j]) for j in range(3)]
+    s_n = _ssign(_add(dn, 1e-12))
+    n = _vscale(n_raw, s_n)
+    dn_s = _mul(dn, s_n)                       # d . n  (sign-corrected)
+    ha_nA = [_mul(ha[i], _mul(nA[i], s_n)) for i in range(3)]
+    hb_nB = [_mul(hb[j], _mul(nB[j], s_n)) for j in range(3)]
 
     out = []
     corners = [(sx, sy, sz) for sx in (-1, 1) for sy in (-1, 1)
                for sz in (-1, 1)]
+    # corners of A against B: every test and the depth are scalar
+    # combinations of the precomputed tables; only the contact point pv
+    # needs vector adds
     for (sx, sy, sz) in corners:
-        vtx = (sx * half_a[0], sy * half_a[1], sz * half_a[2])
-        pv = _vadd(pa, _qrot(qa, vtx))
-        local = _qrotinv(qb, _vsub(pv, pb))
-        inside = ((_sabs(local[0]) < half_b[0])
-                  & (_sabs(local[1]) < half_b[1])
-                  & (_sabs(local[2]) < half_b[2]))
-        depth = jnp.where(inside, _add(_dot3(_vsub(pv, pb), n), hB_n), -1.0)
+        s3 = (sx, sy, sz)
+
+        def acc(base, table):
+            v = base
+            for i in range(3):
+                v = _add(v, _mul(float(s3[i]), table[i]))
+            return v
+
+        pv = tuple(
+            acc(pa[c], [hA_vec[i][c] for i in range(3)]) for c in range(3))
+        local = [acc(_neg(dB[k]), [haR[i][k] for i in range(3)])
+                 for k in range(3)]
+        inside = ((_sabs(local[0]) < hb[0]) & (_sabs(local[1]) < hb[1])
+                  & (_sabs(local[2]) < hb[2]))
+        # dot(pv - pb, n) = -d.n + sum_i s_i ha[i] (A_i . n)
+        dv_n = acc(_neg(dn_s), ha_nA)
+        depth = jnp.where(inside, _add(dv_n, hB_n), -1.0)
         out.append((ia, ib, ba, bb, n, depth, pv))
+    # corners of B against A (symmetric)
     for (sx, sy, sz) in corners:
-        vtx = (sx * half_b[0], sy * half_b[1], sz * half_b[2])
-        pv = _vadd(pb, _qrot(qb, vtx))
-        local = _qrotinv(qa, _vsub(pv, pa))
-        inside = ((_sabs(local[0]) < half_a[0])
-                  & (_sabs(local[1]) < half_a[1])
-                  & (_sabs(local[2]) < half_a[2]))
-        depth = jnp.where(inside, _sub(hA_n, _dot3(_vsub(pv, pa), n)), -1.0)
+        s3 = (sx, sy, sz)
+
+        def acc(base, table):
+            v = base
+            for j in range(3):
+                v = _add(v, _mul(float(s3[j]), table[j]))
+            return v
+
+        pv = tuple(
+            acc(pb[c], [hB_vec[j][c] for j in range(3)]) for c in range(3))
+        local = [acc(dA[i], [hbR[i][j] for j in range(3)])
+                 for i in range(3)]
+        inside = ((_sabs(local[0]) < ha[0]) & (_sabs(local[1]) < ha[1])
+                  & (_sabs(local[2]) < ha[2]))
+        dv_n = acc(dn_s, hb_nB)               # dot(pv - pa, n)
+        depth = jnp.where(inside, _sub(hA_n, dv_n), -1.0)
         out.append((ia, ib, ba, bb, n, depth, pv))
 
-    # SAT edge-edge candidate (collide._box_box_edge_candidate)
     min_f = overlap_f[0]
     for k in range(1, 6):
         min_f = _smin(min_f, overlap_f[k])
@@ -697,40 +765,58 @@ def _s_box_box(ia, ib, ba, bb, pa, qa, half_a, pb, qb, half_b, mat):
     for k in range(1, 6):
         all_f = all_f & (overlap_f[k] > 0)
 
+    # SAT edge-edge candidate. Closed forms for the cross axes
+    # L = A_i x B_j:  |L|^2 = 1 - R[i][j]^2,
+    #   A_(i+1).L = -R[i+2][j]   A_(i+2).L = R[i+1][j]   (A_i.L = 0)
+    #   B_(j+1).L =  R[i][j+2]   B_(j+2).L = -R[i][j+1]  (B_j.L = 0)
+    #   d.L = dA[i+2] R[i+1][j] - dA[i+1] R[i+2][j]
     best_e = None
     n_e = None
     cp_e = None
     all_e = None
     for i_ in range(3):
+        i1, i2 = (i_ + 1) % 3, (i_ + 2) % 3
         for j_ in range(3):
-            L0 = _cross(A_axes[i_], B_axes[j_])
-            norm = _ssqrt(_dot3(L0, L0))
+            j1, j2 = (j_ + 1) % 3, (j_ + 2) % 3
+            len2 = _sub(1.0, _mul(R[i_][j_], R[i_][j_]))
+            norm = _ssqrt(_smax(len2, 1e-12))
             degenerate = norm < 1e-6
             inv_n = 1.0 / _smax(norm, 1e-6)
-            L = _vscale(L0, inv_n)
-            ov = _sub(_add(proj(L, A_axes, half_a), proj(L, B_axes, half_b)),
-                      _sabs(_dot3(L, d)))
+            dLd = _sub(_mul(dA[i2], R[i1][j_]), _mul(dA[i1], R[i2][j_]))
+            proj_a = _add(_mul(ha[i1], aR[i2][j_]), _mul(ha[i2], aR[i1][j_]))
+            proj_b = _add(_mul(hb[j1], aR[i_][j2]), _mul(hb[j2], aR[i_][j1]))
+            ov = _mul(_sub(_add(proj_a, proj_b), _sabs(dLd)), inv_n)
             ov = jnp.where(degenerate, jnp.inf, mat(ov))
-            nk = _vscale(L, _ssign(_dot3(L, d)))
-            # support edge midpoints
-            ca, cb_ = pa, pb
-            for j2 in range(3):
-                if j2 != i_:
-                    sa = _ssign(_dot3(A_axes[j2], nk))
-                    ca = _vadd(ca, _vscale(A_axes[j2], _mul(sa, half_a[j2])))
-                if j2 != j_:
-                    sb = _ssign(_dot3(B_axes[j2], nk))
-                    cb_ = _vsub(cb_, _vscale(B_axes[j2], _mul(sb, half_b[j2])))
-            ea, eb = A_axes[i_], B_axes[j_]
-            r0 = _vsub(cb_, ca)
-            b_ = _dot3(ea, eb)
+            s_L = _ssign(dLd)
+            L0 = _cross(A_axes[i_], B_axes[j_])
+            nk = _vscale(L0, _mul(inv_n, s_L))
+            # support-edge signs: sign(A_k . nk) / sign(B_k . nk) from the
+            # closed-form axis coordinates of L
+            sa1 = _ssign(_mul(_neg(R[i2][j_]), s_L))
+            sa2 = _ssign(_mul(R[i1][j_], s_L))
+            sb1 = _ssign(_mul(R[i_][j2], s_L))
+            sb2 = _ssign(_mul(_neg(R[i_][j1]), s_L))
+            ca = tuple(_add(pa[c], _add(_mul(sa1, hA_vec[i1][c]),
+                                        _mul(sa2, hA_vec[i2][c])))
+                       for c in range(3))
+            cb_ = tuple(_sub(pb[c], _add(_mul(sb1, hB_vec[j1][c]),
+                                         _mul(sb2, hB_vec[j2][c])))
+                        for c in range(3))
+            # closest points on the two support edges: the edge-frame dots
+            # also reduce to the scalar tables
+            b_ = R[i_][j_]
             denom = _smax(_sub(1.0, _mul(b_, b_)), 1e-6)
-            ear0 = _dot3(ea, r0)
-            ebr0 = _dot3(eb, r0)
+            # ea.r0: A_i.(cb_-ca) = dA[i] - sb1 hb[j1] R[i][j1] - sb2 hb[j2] R[i][j2]
+            ear0 = _sub(_sub(dA[i_], _mul(sb1, hbR[i_][j1])),
+                        _mul(sb2, hbR[i_][j2]))
+            # eb.r0: B_j.(cb_-ca) = dB[j] - sa1 ha[i1] R[i1][j] - sa2 ha[i2] R[i2][j]
+            ebr0 = _sub(_sub(dB[j_], _mul(sa1, haR[i1][j_])),
+                        _mul(sa2, haR[i2][j_]))
             s = _sub(ear0, _mul(b_, ebr0)) / denom
             t = _sub(_mul(b_, ear0), ebr0) / denom
-            s = _sclip(s, -half_a[i_], half_a[i_])
-            t = _sclip(t, -half_b[j_], half_b[j_])
+            s = _sclip(s, -ha[i_], ha[i_])
+            t = _sclip(t, -hb[j_], hb[j_])
+            ea, eb = A_axes[i_], B_axes[j_]
             cpk = _vscale(_vadd(_vadd(ca, _vscale(ea, s)),
                                 _vadd(cb_, _vscale(eb, t))), 0.5)
             ovk_pos = ov > 0
@@ -844,9 +930,19 @@ def _make_rows(model: RobotModel, ground_rows: int = 0) -> _Rows:
 # the kernel
 # ===========================================================================
 
+def _norm_torque_bodies(need_torque, nb: int) -> tuple:
+    """Normalize the need_torque spec (bool | iterable of body ids) to the
+    sorted tuple of bodies whose net contact torque is accumulated."""
+    if need_torque is True:
+        return tuple(range(nb))
+    if not need_torque:
+        return ()
+    return tuple(sorted({int(b) for b in need_torque}))
+
+
 def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                  attractors=(), hf_ground: bool = False,
-                 need_torque: bool = True):
+                 need_torque=True):
     """hf_ground: heightfield mode — the ground under each contact candidate
     is a per-env LOCAL PLANE z = c + gx*x + gy*y whose 3 coefficients arrive
     as input rows (rows.gplane), sampled from the heightfield outside the
@@ -855,14 +951,19 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
     micro-math folds the slope terms away, recovering the v1 instruction
     stream exactly.
 
-    need_torque: when False the per-body net contact TORQUE accumulation
-    (the 6-DOF force-sensor half, engine/env.py EnvState.net_torque) is
-    skipped and the kernel outputs 3 rows/body instead of 6 — scenes whose
-    task never reads net_torque (Task.uses_net_torque=False) don't pay for
-    it."""
+    need_torque: per-body net contact TORQUE accumulation (the 6-DOF
+    force-sensor half, engine/env.py EnvState.net_torque). False skips it
+    entirely; True accumulates for every body; a sequence of body ids
+    accumulates ONLY for those bodies (the ones whose sensors the task
+    reads — humanoid feet, fingertips, ...). The torque rows ride the
+    substep fori_loop carry, so every skipped body saves 3 loop-carried
+    vector rows plus its per-contact cross-product adds — the cause of the
+    r3->r4 humanoid bench regression when all ~17 bodies paid for 2 feet
+    sensors."""
     from thormang_isaacgym_tpu.ops import collide as collide_mod
 
     nq, nv, nj, nb = model.nq, model.nv, model.nj, model.nb
+    tq_bodies = _norm_torque_bodies(need_torque, nb)
     nr = model.n_roots
     cands_n = len(_contact_candidates(model))
     rows = _make_rows(model, ground_rows=3 * cands_n if hf_ground else 0)
@@ -951,8 +1052,7 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
 
         q0 = tuple(rd(rows.q + i) for i in range(nq))
         qd0 = tuple(rd(rows.qd + i) for i in range(nv))
-        net_dim = 6 if need_torque else 3
-        net0 = tuple(zero for _ in range(net_dim * nb))
+        net0 = tuple(zero for _ in range(3 * nb + 3 * len(tq_bodies)))
 
         def substep(q, qd):
             jq = [q[7 * nf + j] for j in range(nj)]
@@ -1023,7 +1123,8 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
             # local plane rows in heightfield mode) ----
             f_ext_w = [[0.0] * 6 for _ in range(nb)]   # world [torque, force]
             net_w = [[0.0] * 3 for _ in range(nb)]
-            net_t = [[0.0] * 3 for _ in range(nb)]   # net contact torque
+            # net contact torque: only for the declared sensor bodies
+            net_t = {b: [0.0] * 3 for b in tq_bodies}
             # world velocity of every body touched by contact/attractors
             om_w, vl_w = {}, {}
             for b in vel_bodies:
@@ -1123,7 +1224,7 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                         f_ext_w[b][k] = _add(f_ext_w[b][k], tq[k])
                         f_ext_w[b][3 + k] = _add(f_ext_w[b][3 + k], f[k])
                         net_w[b][k] = _add(net_w[b][k], f[k])
-                        if need_torque:
+                        if b in net_t:
                             net_t[b][k] = _add(net_t[b][k], tq[k])
 
             # external wrenches
@@ -1198,8 +1299,9 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                                                   f_on_b[k])
                         net_w[ba][k] = _sub(net_w[ba][k], f_on_b[k])
                         net_w[bb][k] = _add(net_w[bb][k], f_on_b[k])
-                        if need_torque:
+                        if ba in net_t:
                             net_t[ba][k] = _add(net_t[ba][k], t_a[k])
+                        if bb in net_t:
                             net_t[bb][k] = _add(net_t[bb][k], t_b[k])
                     # implicit velocity reaction -> added inertia.
                     # Tangent damping is isotropic in the contact tangent
@@ -1425,13 +1527,12 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
                 q_new[7 * nf + j] = q2
                 qd_new[6 * nf + j] = v2
 
-            if need_torque:
-                net_flat = tuple(
-                    mat((net_w[b] + net_t[b])[k])
-                    for b in range(nb) for k in range(6))
-            else:
-                net_flat = tuple(
-                    mat(net_w[b][k]) for b in range(nb) for k in range(3))
+            # layout: all force rows (3*nb), then torque rows for the
+            # declared sensor bodies only (3*len(tq_bodies))
+            net_flat = tuple(
+                mat(net_w[b][k]) for b in range(nb) for k in range(3)
+            ) + tuple(
+                mat(net_t[b][k]) for b in tq_bodies for k in range(3))
             return tuple(q_new), tuple(qd_new), net_flat
 
         def body_fn(k, carry):
@@ -1445,7 +1546,7 @@ def _make_kernel(model: RobotModel, sp, n_steps: int, ground_z: float,
             out_ref[i, 0] = q[i]
         for i in range(nv):
             out_ref[nq + i, 0] = qd[i]
-        for i in range(net_dim * nb):
+        for i in range(3 * nb + 3 * len(tq_bodies)):
             out_ref[nq + nv + i, 0] = net[i]
 
     return kernel, rows
@@ -1510,7 +1611,7 @@ def _ground_plane_sampler(model: RobotModel, hf):
 def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
                         ground=0.0, env_block: int = 512,
                         interpret: bool | None = None, attractors=(),
-                        need_torque: bool = True):
+                        need_torque=True):
     """Returns step(params, q, qd, ctrl, wrench) -> (q', qd', net), batched,
     running `n_steps` substeps (default sim_params.substeps) in ONE kernel.
 
@@ -1528,8 +1629,19 @@ def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
                                 need_torque=need_torque)
     plane_rows_fn = _ground_plane_sampler(model, hf) if hf is not None else None
     nq, nv, nb = model.nq, model.nv, model.nb
-    net_dim = 6 if need_torque else 3
-    out_rows = nq + nv + net_dim * nb
+    tq_bodies = _norm_torque_bodies(need_torque, nb)
+    tq_ids = np.array(tq_bodies, np.int32)
+    out_rows = nq + nv + 3 * nb + 3 * len(tq_bodies)
+
+    def unpack_net(out, B):
+        """(out_rows, B) kernel output -> (B, nb, 6) [force | torque], torque
+        zero for bodies outside the declared sensor set."""
+        net3 = out[nq + nv:nq + nv + 3 * nb].T.reshape(B, nb, 3)
+        tq = jnp.zeros((B, nb, 3), net3.dtype)
+        if len(tq_bodies):
+            tq_rows = out[nq + nv + 3 * nb:].T.reshape(B, len(tq_bodies), 3)
+            tq = tq.at[:, tq_ids, :].set(tq_rows)
+        return jnp.concatenate([net3, tq], axis=-1)
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1584,12 +1696,7 @@ def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
             fake_out = _FakeRef(jnp.zeros((out_rows, 1, S, 128), jnp.float32))
             kernel(_FakeRef(arr), fake_out)
             out = fake_out.arr.reshape(out_rows, Bp)[:, :B]
-            q2 = out[:nq].T
-            qd2 = out[nq:nq + nv].T
-            net = out[nq + nv:].T.reshape(B, nb, net_dim)
-            if net_dim == 3:
-                net = jnp.concatenate([net, jnp.zeros_like(net)], axis=-1)
-            return q2, qd2, net
+            return out[:nq].T, out[nq:nq + nv].T, unpack_net(out, B)
         S = eb // 128
         nblk = Bp // eb
         # 4D (rows, n_blocks, S, 128): the block's trailing two dims equal
@@ -1617,11 +1724,6 @@ def build_fused_step_fn(model: RobotModel, sim_params, *, n_steps=None,
         )(packed)
 
         out = out.reshape(out_rows, Bp)[:, :B]
-        q2 = out[:nq].T
-        qd2 = out[nq:nq + nv].T
-        net = out[nq + nv:].T.reshape(B, nb, net_dim)
-        if net_dim == 3:
-            net = jnp.concatenate([net, jnp.zeros_like(net)], axis=-1)
-        return q2, qd2, net
+        return out[:nq].T, out[nq:nq + nv].T, unpack_net(out, B)
 
     return step

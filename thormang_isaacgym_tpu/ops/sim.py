@@ -207,7 +207,7 @@ def _substep(model: RobotModel, sp_: SimParams, params: ModelParams,
 def build_step_fn(model: RobotModel, sim_params: SimParams,
                   ground_height_fn=None, attractors=None,
                   fused: bool | None = None,
-                  need_torque: bool = True) -> Callable:
+                  need_torque=True) -> Callable:
     """Returns step(params, q, qd, ctrl, body_wrench_w) -> (q', qd', net),
     batched. net (B, nb, 3) is the per-body net ground-contact force from the
     last substep — the `acquire_net_contact_force_tensor` equivalent

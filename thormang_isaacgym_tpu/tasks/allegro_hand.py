@@ -56,6 +56,7 @@ class AllegroHand(ShadowHand):
         self.fingertip_ids = np.array([
             self.model.body_id(b) for b in
             ("index_link_3", "middle_link_3", "ring_link_3", "thumb_link_3")])
+        self.net_torque_bodies = tuple(int(b) for b in self.fingertip_ids)
 
     def _full_state(self, state, task):
         """88-dim: dof pos/vel/force + object + goal (+16 actions);

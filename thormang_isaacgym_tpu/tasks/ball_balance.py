@@ -153,6 +153,9 @@ class BallBalance(Task):
         # couplings implicitly)
         d["dof_damping"] = np.full(scene.nj, 2.0, np.float32)
         self.model = scene
+        # 6-DOF sensors on the three lower legs only
+        self.net_torque_bodies = tuple(
+            scene.body_id(f"bbot/lower_leg{i}") for i in range(3))
         self.dof_lower = jnp.asarray(np.array(d["dof_lower"]))
         self.dof_upper = jnp.asarray(np.array(d["dof_upper"]))
         self.sim_params = SimParams(

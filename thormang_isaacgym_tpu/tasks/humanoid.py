@@ -115,6 +115,7 @@ class Humanoid(Task):
         self._init_jq = common.initial_dof_pos(dlower, dupper)
         self.spawn_z = common.solve_spawn_height(model, self._init_jq, clearance=0.02)
         self.feet = [model.body_id("l_leg_an_r_link"), model.body_id("r_leg_an_r_link")]
+        self.net_torque_bodies = tuple(self.feet)
         self.targets = jnp.array([1000.0, 0.0, 0.0])
         self.basis_vec0 = jnp.array([1.0, 0.0, 0.0])
         self.basis_vec1 = jnp.array([0.0, 0.0, 1.0])
@@ -254,6 +255,7 @@ class HumanoidMJCF(Humanoid):
         self.spawn_z = common.solve_spawn_height(model, self._init_jq,
                                                  clearance=0.02)
         self.feet = [model.body_id("right_foot"), model.body_id("left_foot")]
+        self.net_torque_bodies = tuple(self.feet)
         self.targets = jnp.array([1000.0, 0.0, 0.0])
         self.basis_vec0 = jnp.array([1.0, 0.0, 0.0])
         self.basis_vec1 = jnp.array([0.0, 0.0, 1.0])

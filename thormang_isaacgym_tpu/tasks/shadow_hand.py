@@ -189,6 +189,11 @@ class ShadowHand(Task):
                 [scene.dof_id(n) for n in ACTUATED_DOF_NAMES])
             self.fingertip_ids = np.array(
                 [scene.body_id(b) for b in FINGERTIP_BODIES])
+            # 6-DOF sensors live on the fingertips only: restrict kernel
+            # torque accumulation to them (AllegroHand re-declares after
+            # overriding fingertip_ids)
+            self.net_torque_bodies = tuple(
+                int(b) for b in self.fingertip_ids)
         else:
             # non-Shadow hand model (AllegroHand subclass): placeholder
             # maps, overridden right after super().__init__

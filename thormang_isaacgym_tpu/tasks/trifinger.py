@@ -125,6 +125,7 @@ class Trifinger(Task):
             np.array(trifinger_dof_ids(scene, "robot/"), np.int32))
         self.tips = [scene.sites[f"robot/finger_tip_link_{int(a)}"]
                      for a in FINGER_ANGLES]
+        self.net_torque_bodies = tuple(b for b, _, _ in self.tips)
         self.cube_body = scene.body_id("obj/cube")
         self.q_lo = jnp.asarray(np.tile(JOINT_LOW, 3).astype(np.float32))
         self.q_hi = jnp.asarray(np.tile(JOINT_HIGH, 3).astype(np.float32))
