@@ -136,3 +136,58 @@ def test_render_video_gif(tmp_path):
     from PIL import Image
     im = Image.open(path)
     assert getattr(im, "n_frames", 1) >= 2
+
+
+def test_live_viewer_http_and_events():
+    """Live viewer (reference vec_task.py:408-440 equivalent): serves the
+    page and state over localhost HTTP, forwards only subscribed keys as
+    (action, key) events, V toggles frame sync, ESC closes the loop."""
+    import json as _json
+    import urllib.request
+
+    import jax
+    import jax.numpy as jnp
+
+    import thormang_isaacgym_tpu as tgx
+    from thormang_isaacgym_tpu.runtime.viewer import LiveViewer, ViewerClosed
+
+    env = tgx.make("Cartpole", num_envs=2, seed=0)
+    state = env.reset(jax.random.key(0))
+    viewer = LiveViewer(env, announce=False)
+    viewer.enable_viewer_sync = False       # no real-time throttle in CI
+    try:
+        viewer.subscribe_keyboard_event("r", "reset")
+        viewer.add_debug_line((0, 0, 0), (1, 0, 1))
+        viewer.render(state)
+
+        page = urllib.request.urlopen(viewer.url, timeout=5).read()
+        assert b"canvas" in page
+        st = _json.loads(urllib.request.urlopen(
+            viewer.url + "state", timeout=5).read())
+        assert len(st["geoms"]) > 0 and not st["sync"]
+
+        def press(key):
+            req = urllib.request.Request(
+                viewer.url + "key", data=_json.dumps({"key": key}).encode(),
+                method="POST")
+            urllib.request.urlopen(req, timeout=5)
+
+        press("r")          # subscribed -> event
+        press("x")          # unsubscribed -> dropped
+        press("v")          # toggles sync
+        # 'v' is a default subscription (the reference's
+        # toggle_viewer_sync action), so it reports alongside 'r'
+        assert viewer.query_events() == [("reset", "r"),
+                                         ("toggle_viewer_sync", "v")]
+        assert viewer.query_events() == []          # drained
+        assert viewer.enable_viewer_sync            # V toggled it back on
+        viewer.enable_viewer_sync = False
+
+        press("Escape")
+        try:
+            viewer.render(state)
+            raise AssertionError("ESC must close the viewer loop")
+        except ViewerClosed:
+            pass
+    finally:
+        viewer.close()

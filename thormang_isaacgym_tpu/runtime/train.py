@@ -114,7 +114,7 @@ def main(argv=None):
             os.makedirs(os.path.join(run_dir, "videos"), exist_ok=True)
             video = os.path.join(run_dir, "videos", "eval.gif")
         return play(env, ppo, ts, episodes=int(cfg.get("test_episodes", 3)),
-                    video=video)
+                    video=video, live=not cfg.get("headless", True))
 
     max_iter = int(cfg.get("max_iterations", 1000))
     log_path = os.path.join(run_dir, "metrics.jsonl")
@@ -170,8 +170,11 @@ def main(argv=None):
     return ts
 
 
-def play(env, ppo, ts, episodes=3, video=None):
-    """Deterministic policy evaluation (the reference's test=True path)."""
+def play(env, ppo, ts, episodes=3, video=None, live=False):
+    """Deterministic policy evaluation (the reference's test=True path).
+
+    live=True serves the interactive browser viewer while playing (the
+    reference's headless=False viewer loop, vec_task.py:408-440)."""
     import numpy as np
 
     key = jax.random.key(0)
@@ -181,6 +184,10 @@ def play(env, ppo, ts, episodes=3, video=None):
     total, count = 0.0, 0
     returns = np.zeros(env.num_envs)
     logger = None
+    viewer = None
+    if live:
+        from thormang_isaacgym_tpu.runtime.viewer import LiveViewer
+        viewer = LiveViewer(env)
     if video:
         from thormang_isaacgym_tpu.runtime.replay import StateLogger
         logger = StateLogger(env.task.model,
@@ -188,6 +195,12 @@ def play(env, ppo, ts, episodes=3, video=None):
     for _ in range(env.task.max_episode_length * episodes):
         actions = act(ts, state.obs)
         state = step(state, actions)
+        if viewer is not None:
+            from thormang_isaacgym_tpu.runtime.viewer import ViewerClosed
+            try:
+                viewer.render(state)
+            except ViewerClosed:
+                break
         if logger is not None and len(logger) < 300:
             logger.add(np.asarray(state.q[0]))
         r = np.asarray(state.reward)
