@@ -50,6 +50,12 @@ class ActorCritic(nn.Module):
             log_std = jnp.broadcast_to(log_std, mu.shape)
         else:
             log_std = nn.Dense(self.num_actions, name="sigma", dtype=self.compute_dtype)(trunk)
+        # hard bound: exp(2*log_std) in the KL overflows f32 past ~44, and
+        # an entropy bonus can push the (otherwise unconstrained) parameter
+        # there once |a| >> 1 makes its policy-gradient vanish (observed:
+        # ShadowHand entropy 0.6 -> 556 over 20k resumed epochs, i.e.
+        # per-dim std e^27 - uniform-random rollouts and NaN KL)
+        log_std = jnp.clip(log_std, -5.0, 2.0)
         return mu.astype(jnp.float32), log_std.astype(jnp.float32), value[..., 0].astype(jnp.float32)
 
 
@@ -112,6 +118,7 @@ class ActorCriticRNN(nn.Module):
         else:
             log_std = nn.Dense(self.num_actions, name="sigma",
                                dtype=self.compute_dtype)(x)
+        log_std = jnp.clip(log_std, -5.0, 2.0)   # see ActorCritic
         return (mu.astype(jnp.float32), log_std.astype(jnp.float32),
                 value[..., 0].astype(jnp.float32), tuple(new_carry))
 
